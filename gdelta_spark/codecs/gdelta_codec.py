@@ -1,0 +1,410 @@
+"""Gdelta delta codec — vectorized, byte-exact re-implementation.
+
+Produces/consumes the same blob format as the reference C++ codec
+(apple-ouyang/gdelta) so blobs are cross-decodable, while the encoder is
+re-architected for numpy vectorization: Gear fingerprints for *all*
+positions are computed as one fixed-weight sliding sum, candidate
+verification is a bulk 16-byte window compare, and the greedy resolution
+loop iterates per *match* (not per byte).
+
+Blob format (reverse-engineered; all citations into /root/reference/):
+
+- varint: little-endian 7-bit groups, each byte = ``more(bit0) | group<<1``
+  (gdelta.cpp:43-47, 112-122, 143-157).
+- unit head byte: ``flag(bit0) | more(bit1) | (length & 1) << 2``.  Although
+  the head struct declares a 6-bit length field, the writer masks the length
+  with ``head_varint_mask == (1 << lenbits) - 1`` where ``lenbits == 1``
+  (gdelta.cpp:38, 141-142, 165), so only ONE length bit lives in the head and
+  ``more`` means ``length > 1``.
+- after the head the writer ALWAYS emits ``varint(length >> 1)``
+  (gdelta.cpp:168-169) but the reader consumes it only when ``more`` is set
+  (gdelta.cpp:130-132); for ``length <= 1`` the stray 0x00 byte re-parses as a
+  zero-length INSERT unit — harmless because COPY lengths are always >= 16.
+- COPY units (flag=1) append ``varint(offset)`` into the base buffer
+  (gdelta.cpp:133-135, 170-172).
+- blob: ``varint(len(inst_stream)) ‖ inst_stream ‖ literal_bytes``
+  (gdelta.cpp:516-519, parsed at 544-548).
+
+Encoder policy replicated for compressed-size parity (gdelta.cpp:216-531):
+common prefix/suffix elision with >16B thresholds, fast path when the base
+is fully covered, Gear-fingerprint hash table over every 2nd base position
+(single-slot buckets, last-writer-wins), single-probe 16-byte verification,
+word-wise forward match extension, backward literal→copy conversion, and the
+reference's stale-fingerprint quirk when a match ends exactly 16 bytes
+before the suffix region (gdelta.cpp:452 condition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdelta_spark.gear import GEAR
+
+STRLOOK = 16  # fingerprint window (gdelta.cpp:17)
+STRLSTEP = 2  # base sampling step (gdelta.cpp:18)
+_SHIFT = np.uint64(4)  # movebitlength = ceil(64/16) (gdelta.cpp:182-184)
+
+# ---------------------------------------------------------------------------
+# varint / unit ABI
+# ---------------------------------------------------------------------------
+
+
+def write_varint(out: bytearray, val: int) -> None:
+    """Append the gdelta varint encoding of ``val`` (always >= 1 byte)."""
+    while True:
+        group = val & 0x7F
+        val >>= 7
+        if val == 0:
+            out.append(group << 1)  # more=0
+            return
+        out.append((group << 1) | 1)  # more=1
+
+
+def read_varint(buf, pos: int) -> tuple[int, int]:
+    """Read a varint at ``pos``; return (value, next_pos)."""
+    val = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b >> 1) << shift
+        if not (b & 1):
+            return val, pos
+        shift += 7
+
+
+def write_unit(inst: bytearray, flag: int, length: int, offset: int) -> None:
+    """Append one COPY/INSERT unit, byte-identical to the reference writer."""
+    more = 1 if length > 1 else 0
+    head = (flag & 1) | (more << 1) | ((length & 1) << 2)
+    inst.append(head)
+    write_varint(inst, length >> 1)  # written even when more=0 (quirk)
+    if flag:
+        write_varint(inst, offset)
+
+
+def read_unit(buf, pos: int) -> tuple[int, int, int, int]:
+    """Read one unit at ``pos``; return (flag, length, offset, next_pos)."""
+    head = buf[pos]
+    pos += 1
+    flag = head & 1
+    more = (head >> 1) & 1
+    length = head >> 2  # 6-bit field; writer only ever stores bit0 here
+    if more:
+        hi, pos = read_varint(buf, pos)
+        length |= hi << 1
+    offset = 0
+    if flag:
+        offset, pos = read_varint(buf, pos)
+    return flag, length, offset, pos
+
+
+def parse_units(delta: bytes) -> tuple[list[tuple[int, int, int]], int]:
+    """Parse a delta blob into [(flag, length, offset)...] and the literal
+    data stream offset. Zero-length phantom units are kept (they are no-ops).
+    """
+    inst_len, pos = read_varint(delta, 0)
+    inst_end = pos + inst_len
+    units = []
+    while pos < inst_end:
+        flag, length, offset, pos = read_unit(delta, pos)
+        units.append((flag, length, offset))
+    return units, inst_end
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def gdelta_decode(delta: bytes, base: bytes) -> bytes:
+    """Interpret a delta blob against ``base``; returns the reconstructed
+    target bytes (mirrors gdelta.cpp:533-567 semantics).
+    """
+    units, data_pos = parse_units(delta)
+    parts = []
+    for flag, length, offset in units:
+        if length == 0:
+            continue
+        if flag:
+            parts.append(base[offset : offset + length])
+        else:
+            parts.append(delta[data_pos : data_pos + length])
+            data_pos += length
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def _common_prefix_len(a: np.ndarray, b: np.ndarray) -> int:
+    n = min(a.size, b.size)
+    if n == 0:
+        return 0
+    neq = a[:n] != b[:n]
+    i = int(np.argmax(neq))
+    return n if not neq[i] else i
+
+
+def _common_suffix_len(a: np.ndarray, b: np.ndarray) -> int:
+    n = min(a.size, b.size)
+    if n == 0:
+        return 0
+    neq = a[a.size - n :] != b[b.size - n :]
+    rev = neq[::-1]
+    i = int(np.argmax(rev))
+    return n if not rev[i] else i
+
+
+_GEAR4 = (GEAR << _SHIFT).copy()  # level-0 fusion: GEAR[b] pre-shifted by 4
+
+
+def _gear_fingerprints(data: np.ndarray) -> np.ndarray:
+    """fp[i] = sum_j GEAR[data[i+j]] << 4*(15-j) mod 2^64 for every window
+    start i in [0, len-16] — the fixed-weight expansion of the reference's
+    rolling recurrence fp = (fp<<4) + GEAR[b] (gdelta.cpp:188-189, 207-208).
+
+    Computed by window doubling (F_2L(i) = F_L(i) << 4L | F_L(i+L)): 4 array
+    passes instead of 16, the win that makes the vectorized formulation beat
+    the sequential recurrence.
+    """
+    n = data.size
+    m = n - STRLOOK + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(m, dtype=np.uint64)
+    # chunked so the uint64 intermediates stay cache-resident (the 8x byte->u64
+    # widening makes a whole-array pass memory-bound at ~10x lower throughput)
+    chunk = 1 << 18
+    for lo in range(0, m, chunk):
+        hi_end = min(lo + chunk, m) + STRLOOK - 1
+        d = data[lo:hi_end]
+        f = _GEAR4[d[: d.size - 1]]
+        f += GEAR[d[1:]]  # F_2
+        for half in (2, 4, 8):
+            hi = f[: f.size - half] << np.uint64(4 * half)  # fresh: no aliasing
+            hi += f[half:]
+            f = hi
+        out[lo : lo + f.size] = f
+    return out
+
+
+def _build_hash_table(
+    base8: np.ndarray, beg_size: int, end_size: int, bit: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-slot hash table over the base interior: fingerprint top ``bit``
+    bits -> absolute base position. Sampling every 2nd window starting at
+    interior offset 2, last-writer-wins (gdelta.cpp:176-214).
+
+    Also returns a parallel table of the winners' FULL 64-bit fingerprints,
+    used as an exact-match prefilter so candidate verification never needs a
+    bulk 16-byte window gather.
+    """
+    table = np.zeros(1 << bit, dtype=np.uint32)
+    fp_table = np.zeros(1 << bit, dtype=np.uint64)
+    interior = base8[beg_size : base8.size - end_size]
+    if interior.size < STRLOOK:
+        return table, fp_table
+    fps = _gear_fingerprints(interior)
+    pos = np.arange(2, fps.size, STRLSTEP, dtype=np.int64)
+    if pos.size == 0:
+        return table, fp_table
+    sampled = fps[pos]
+    # .view(int64) = zero-copy reinterpret; top-bits shift keeps values < 2^63
+    idx = (sampled >> np.uint64(64 - bit)).view(np.int64)
+    vals = (pos + beg_size).astype(np.uint32)
+    # stored positions are strictly increasing, so max == last-writer-wins
+    np.maximum.at(table, idx, vals)
+    winners = table[idx] == vals  # exactly one True per distinct idx
+    np.copyto(fp_table, 0)
+    fp_table[idx[winners]] = sampled[winners]
+    return table, fp_table
+
+
+def _first_mismatch(a: np.ndarray, b: np.ndarray, limit: int) -> int:
+    """Count of equal leading bytes of a[:limit] vs b[:limit], scanning in
+    blocks so long extensions stop cheaply at the first mismatch."""
+    step = 4096
+    off = 0
+    while off < limit:
+        hi = min(off + step, limit)
+        neq = a[off:hi] != b[off:hi]
+        i = int(np.argmax(neq))
+        if neq[i]:
+            return off + i
+        off = hi
+        step *= 4
+    return limit
+
+
+def _last_mismatch_run(a: np.ndarray, b: np.ndarray, limit: int) -> int:
+    """Count of equal TRAILING bytes of a[-limit:] vs b[-limit:]."""
+    if limit <= 0:
+        return 0
+    neq = a[a.size - limit :] != b[b.size - limit :]
+    rev = neq[::-1]
+    i = int(np.argmax(rev))
+    return limit if not rev[i] else i
+
+
+def gdelta_encode(new: bytes, base: bytes) -> bytes:
+    new8 = np.frombuffer(new, dtype=np.uint8)
+    base8 = np.frombuffer(base, dtype=np.uint8)
+    new_size = new8.size
+    base_size = base8.size
+
+    # prefix/suffix elision with >16B thresholds (gdelta.cpp:234-272)
+    beg_size = _common_prefix_len(base8, new8)
+    beg = beg_size > 16
+    if not beg:
+        beg_size = 0
+    end_size = _common_suffix_len(base8, new8)
+    if beg_size + end_size > new_size:
+        end_size = new_size - beg_size
+    end = end_size > 16
+    if not end:
+        end_size = 0
+
+    inst = bytearray()
+    data = bytearray()
+
+    def assemble() -> bytes:
+        out = bytearray()
+        write_varint(out, len(inst))
+        out += inst
+        out += data
+        return bytes(out)
+
+    # fast path: base fully covered by prefix+suffix (gdelta.cpp:280-318)
+    if beg_size + end_size >= base_size:
+        if beg:
+            write_unit(inst, 1, beg_size, 0)
+        litlen = new_size - beg_size - end_size
+        if litlen > 0:
+            write_unit(inst, 0, litlen, 0)
+            data += new[beg_size : new_size - end_size]
+        if end:
+            write_unit(inst, 1, end_size, base_size - end_size)
+        return assemble()
+
+    # hash table sizing: bit_length(interior + 10) (gdelta.cpp:321-328)
+    bit = ((base_size - beg_size - end_size) + 10).bit_length()
+    table, fp_table = _build_hash_table(base8, beg_size, end_size, bit)
+
+    n2 = new_size - end_size  # exclusive end of the scan region
+    tgt = new8[beg_size:n2]
+    m = tgt.size
+    last_pos = m - STRLOOK  # last probe-able position
+
+    if beg:
+        write_unit(inst, 1, beg_size, 0)
+
+    base_lim = base_size - end_size  # match extension bound (gdelta.cpp:400-408)
+    shift = np.uint64(64 - bit)
+    tb = tgt.tobytes()  # for cheap 16-byte exact verifies
+    bb_mem = base8.tobytes() if not isinstance(base, (bytes, bytearray)) else base
+
+    # Lazy per-segment probing: fingerprints/candidates are computed only for
+    # the segments the cursor actually visits — long matches skip whole
+    # segments, which is the common case on near-duplicate data.
+    SEG = 1 << 18
+    seg_start = seg_end = 0
+    seg_pos = np.empty(0, dtype=np.int64)  # prefilter-passing positions
+    seg_cand = np.empty(0, dtype=np.int64)  # their candidate base offsets
+
+    def load_segment(s: int) -> None:
+        nonlocal seg_start, seg_end, seg_pos, seg_cand
+        seg_start = s
+        seg_end = min(s + SEG, last_pos + 1)
+        fps = _gear_fingerprints(tgt[s : seg_end + STRLOOK - 1])
+        idx = (fps >> shift).view(np.int64)
+        cand = table[idx]
+        ok = cand != 0
+        ok &= fp_table[idx] == fps
+        rel = np.flatnonzero(ok)
+        seg_pos = rel + s
+        seg_cand = cand[rel].astype(np.int64)
+
+    def next_match(p: int) -> tuple[int, int]:
+        """First position q >= p whose candidate 16-byte window verifies
+        exactly; returns (q, offset) or (-1, 0). Identical accept set to the
+        reference's per-position probe: equal bytes => equal fingerprint =>
+        passes the prefilter; the exact compare then mirrors the memcmp."""
+        while True:
+            if p > last_pos:
+                return -1, 0
+            if not (seg_start <= p < seg_end) or seg_end == seg_start:
+                load_segment(p)
+            i = int(np.searchsorted(seg_pos, p))
+            while i < seg_pos.size:
+                q = int(seg_pos[i])
+                c = int(seg_cand[i])
+                if tb[q : q + STRLOOK] == bb_mem[c : c + STRLOOK]:
+                    return q, c
+                i += 1
+            p = seg_end
+            if p > last_pos:
+                return -1, 0
+
+    p = 0  # cursor, relative to tgt
+    lit_from = 0  # start of pending literal, relative to tgt
+    stale_cand = -1  # candidate under the stale fingerprint, if in that state
+
+    while p + STRLOOK <= m:
+        if stale_cand >= 0:
+            # reference quirk: fp not refreshed when the previous match ended
+            # exactly 16 bytes before n2 (gdelta.cpp:452 loop guard), so the
+            # final probe reuses the previous window's fingerprint/slot.
+            offset = stale_cand
+            matched = tb[p : p + STRLOOK] == bb_mem[offset : offset + STRLOOK]
+            q = p if matched else -1
+        else:
+            q, offset = next_match(p)
+            matched = q >= 0
+            if matched:
+                # literal run tgt[lit_from:q] becomes pending before the match
+                p = q
+
+        if not matched:
+            break  # everything from lit_from on is literal; tail flush below
+
+        # forward extension (gdelta.cpp:398-411)
+        cursor = q + STRLOOK
+        max_j = min(base_lim - (offset + STRLOOK), m - cursor)
+        j = 0
+        if max_j > 0:
+            j = _first_mismatch(
+                base8[offset + STRLOOK : offset + STRLOOK + max_j],
+                tgt[cursor : cursor + max_j],
+                max_j,
+            )
+        matchlen = STRLOOK + j
+        copy_off = offset
+        litlen = q - lit_from
+        if litlen > 0:
+            # backward literal->copy conversion (gdelta.cpp:420-442)
+            kmax = min(offset, litlen)
+            k = 0
+            if kmax > 0:
+                k = _last_mismatch_run(base8[:offset], tgt[:q], kmax)
+            litlen -= k
+            matchlen += k
+            copy_off -= k
+            # reference writes the (possibly zero-length) literal unit
+            write_unit(inst, 0, litlen, 0)
+            data += tgt[lit_from : q - k].tobytes()
+        write_unit(inst, 1, matchlen, copy_off)
+        p = cursor + j
+        lit_from = p
+        # stale-fp edge: rebuild skipped iff cursor+16 == n2 in absolute terms
+        stale_cand = offset if p + STRLOOK == m else -1
+
+    # tail flush (gdelta.cpp:486-514)
+    if m > lit_from:
+        write_unit(inst, 0, m - lit_from, 0)
+        data += tgt[lit_from:m].tobytes()
+    if end:
+        write_unit(inst, 1, end_size, base_size - end_size)
+    return assemble()
