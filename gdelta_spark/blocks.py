@@ -1,0 +1,77 @@
+"""Block layer: groups of rows -> one encoded blob (parquet-page-like).
+
+A block is the encode/decode unit: row token arrays are concatenated into one
+column vector, the per-row lengths are FOR-packed, and the vector is encoded
+with the chosen codec (or gdelta vs the partition base chunk). Blob layout:
+
+    [0x42][version:u8][n_rows:u32][lens sub-block (FOR)][codec block blob]
+
+Block-level (not row-level) encoding is what lets every codec kernel run
+vectorized over ~10^5 tokens per call instead of ~10^3 — the per-call numpy
+overhead amortizes and the delta codec sees long base matches.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from gdelta_spark import chooser
+from gdelta_spark.codecs import core
+from gdelta_spark.codecs.light import _pack_for, _unpack_for
+
+BLOCK_MAGIC = 0x42
+BLOCK_VERSION = 1
+
+
+def encode_block_rows(
+    token_arrays: list[np.ndarray],
+    codec_id: int | None = None,
+    base: bytes | None = None,
+) -> tuple[bytes, int]:
+    """Encode rows as one block; returns (blob, codec_id). ``codec_id`` None
+    means auto-choose. Applies the raw-fallback guard: if the chosen codec
+    expands beyond raw, re-encode raw (the reference lacks this guard and can
+    emit delta > input, /root/reference/gdelta.cpp:216-531 — see SURVEY §2.1)."""
+    arrays = [np.ascontiguousarray(a, dtype=np.int32) for a in token_arrays]
+    values = np.concatenate(arrays) if arrays else np.empty(0, dtype=np.int32)
+    lens = np.array([a.size for a in arrays], dtype=np.int64)
+
+    if codec_id is None:
+        codec_id, _ = chooser.choose_codec(values, arrays[:3], base)
+
+    if codec_id == core.GDELTA:
+        from gdelta_spark.codecs import delta
+
+        payload = bytes([core.MAGIC, core.VERSION, core.GDELTA])
+        payload += delta.gdelta_rows_payload(arrays, base)
+    else:
+        payload = core.encode_block(values, codec_id)
+    if codec_id != core.RAW and len(payload) >= values.nbytes + 8:
+        raw_payload = core.encode_block(values, core.RAW)
+        if len(raw_payload) < len(payload):
+            payload, codec_id = raw_payload, core.RAW
+
+    head = struct.pack("<BBI", BLOCK_MAGIC, BLOCK_VERSION, len(arrays))
+    return head + _pack_for(lens) + payload, codec_id
+
+
+def decode_block_rows(blob: bytes, base: bytes | None = None) -> list[np.ndarray]:
+    magic, version, n_rows = struct.unpack_from("<BBI", blob, 0)
+    if magic != BLOCK_MAGIC or version != BLOCK_VERSION:
+        raise ValueError("not a gdelta_spark row block")
+    lens, pos = _unpack_for(blob, 6)
+    payload = blob[pos:]
+    if len(payload) >= 3 and payload[2] == core.GDELTA:
+        from gdelta_spark.codecs import delta
+
+        return delta.gdelta_rows_decode(payload[3:], base)
+    values = core.decode_block(payload)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    return [values[offsets[i] : offsets[i + 1]] for i in range(n_rows)]
+
+
+def block_codec_name(blob: bytes) -> str:
+    lens, pos = _unpack_for(blob, 6)
+    return core.blob_codec(blob[pos:])

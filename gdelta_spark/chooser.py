@@ -1,0 +1,110 @@
+"""Cost-based codec chooser.
+
+Samples a partition's token distribution (cardinality, run lengths, value
+range, inter-record similarity — the north rule's stat set), computes
+analytic byte estimates for every codec, then measures the top candidates on
+the sample and picks the minimum. Ties and estimate errors therefore never
+produce a wrong choice, only a slightly larger sample-encode cost.
+
+Pure numpy — runs inside the encode kernel per partition/block; no Spark
+imports, no driver round-trip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gdelta_spark.codecs import core
+from gdelta_spark.codecs.delta import tokens_to_bytes
+from gdelta_spark.codecs.light import bit_width
+
+SAMPLE_TOKENS = 32_768
+
+
+@dataclass
+class BlockStats:
+    n: int
+    cardinality: int
+    n_runs: int
+    value_range: int
+    base_similarity: float  # sampled gdelta ratio vs base (1.0 = incompressible)
+
+
+def collect_stats(values: np.ndarray, sample_rows: list[np.ndarray], base: bytes | None) -> BlockStats:
+    v = values if values.size <= SAMPLE_TOKENS else values[: SAMPLE_TOKENS]
+    v64 = v.astype(np.int64, copy=False)
+    card = int(np.unique(v).size)
+    n_runs = int((np.diff(v64) != 0).sum()) + 1 if v.size else 0
+    rng = int(v64.max() - v64.min()) if v.size else 0
+    sim = 1.0
+    if base is not None and sample_rows:
+        from gdelta_spark.codecs.gdelta_codec import gdelta_encode
+
+        raw = enc = 0
+        for row in sample_rows[:3]:
+            rb = tokens_to_bytes(row[: SAMPLE_TOKENS])
+            raw += len(rb)
+            enc += len(gdelta_encode(rb, base))
+        sim = enc / raw if raw else 1.0
+    return BlockStats(int(values.size), card, n_runs, rng, sim)
+
+
+def estimate_bytes(stats: BlockStats) -> dict[str, float]:
+    """Analytic size estimates (bytes) per codec, from sample stats."""
+    n = max(stats.n, 1)
+    est = {"raw": 4.0 * n}
+    code_w = bit_width(max(stats.cardinality - 1, 0))
+    est["dict"] = n * code_w / 8 + stats.cardinality * 4 + 32
+    runs = max(int(stats.n_runs * (stats.n / max(min(stats.n, SAMPLE_TOKENS), 1))), 1)
+    est["rle"] = runs * (bit_width(stats.value_range) + 16) / 8 + 64
+    est["for"] = n * bit_width(stats.value_range) / 8 + 16
+    est["gdelta"] = 4.0 * n * stats.base_similarity + 16
+    return est
+
+
+def _measure_fsst(values: np.ndarray) -> float:
+    """FSST has no closed-form estimate; measure a micro-sample and
+    extrapolate (symbol-table overhead makes this an upper-ish bound)."""
+    sample = values[: 8192]
+    if sample.size == 0:
+        return 8.0
+    return len(core.encode_block(sample, core.FSST)) * (values.size / sample.size)
+
+
+def choose_codec(
+    values: np.ndarray,
+    sample_rows: list[np.ndarray] | None = None,
+    base: bytes | None = None,
+    measure_margin: float = 1.4,
+) -> tuple[int, dict[str, float]]:
+    """Pick the winning codec for a block of token values.
+
+    Analytic estimates shortlist codecs within ``measure_margin`` of the best
+    estimate; the shortlist is then measured on a sample slice and the
+    smallest measured size wins. Returns (codec_id, estimates).
+    """
+    stats = collect_stats(values, sample_rows or [], base)
+    est = estimate_bytes(stats)
+    est["fsst"] = _measure_fsst(values)
+    if base is None:
+        est.pop("gdelta")
+    best_est = min(est.values())
+    shortlist = [c for c, e in est.items() if e <= best_est * measure_margin]
+    if len(shortlist) == 1:
+        return core.CODEC_IDS[shortlist[0]], est
+
+    sample = values[: SAMPLE_TOKENS * 4]
+    measured = {}
+    for name in shortlist:
+        cid = core.CODEC_IDS[name]
+        if cid == core.GDELTA:
+            # similarity already sampled per-row; reuse the analytic figure
+            measured[name] = est[name]
+            continue
+        measured[name] = len(core.encode_block(sample, cid)) * (
+            values.size / max(sample.size, 1)
+        )
+    winner = min(measured, key=measured.get)
+    return core.CODEC_IDS[winner], est

@@ -1,0 +1,192 @@
+"""FSST-style static-symbol-table codec over the serialized token byte stream.
+
+Model follows the public FSST design (Boncz, Neumann, Freitag, "FSST: Fast
+Random Access String Compression", VLDB 2020): a per-block static table of at
+most 255 symbols, each 1-8 bytes, plus escape code 255 for bytes outside the
+table. Training and encoding here are re-architected for numpy: instead of
+FSST's sequential longest-match loop we run 3 vectorized merge rounds
+(pair-frequency counting + exact greedy left-to-right non-overlapping
+replacement via run-parity), growing symbols up to 8 bytes. Any valid parse
+decodes identically, so the parse strategy affects only compression ratio.
+
+Payload layout (little-endian):
+    [n_bytes:u32]      decoded byte-stream length
+    [n_sym:u8]         number of table symbols (<= 255)
+    n_sym * [len:u8]   symbol lengths (1..8)
+    concat(symbol bytes)
+    [stream...]        code bytes; 255 = escape, next byte is a literal
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from gdelta_spark.codecs import core
+
+ESC = 255
+MAX_SYM = 255  # codes 0..254; 255 reserved for escape
+MAX_LEN = 8
+ROUNDS = 6
+MERGES_PER_ROUND = (96, 64, 40, 24, 16, 14)
+MIN_COUNT = 4
+
+
+def _greedy_nonoverlap(match: np.ndarray) -> np.ndarray:
+    """Exact greedy left-to-right selection of non-overlapping width-2 matches:
+    within each run of consecutive matching positions take every 2nd."""
+    idx = np.flatnonzero(match)
+    if idx.size == 0:
+        return idx
+    brk = np.flatnonzero(np.diff(idx) > 1) + 1
+    run_id = np.zeros(idx.size, dtype=np.int64)
+    run_id[brk] = 1
+    run_id = np.cumsum(run_id)
+    run_first = idx[np.concatenate(([0], brk))][run_id]
+    return idx[((idx - run_first) & 1) == 0]
+
+
+def _train_and_parse(data: np.ndarray) -> tuple[list[bytes], np.ndarray]:
+    """Run merge rounds; return (symbol expansions for merged codes in code
+    order, final work stream of values in [0,256+n_merged))."""
+    work = data.astype(np.int32)
+    expansions: list[bytes] = []  # merged code i -> byte string
+    exp_len = np.ones(256, dtype=np.int64)  # value -> expansion length
+    next_code = 256
+
+    for budget in MERGES_PER_ROUND[:ROUNDS]:
+        if work.size < 2:
+            break
+        pairs = work[:-1].astype(np.int64) * 65536 + work[1:]
+        uniq, counts = np.unique(pairs, return_counts=True)
+        lens = exp_len[uniq // 65536] + exp_len[uniq % 65536]
+        ok = (counts >= MIN_COUNT) & (lens <= MAX_LEN)
+        uniq, counts, lens = uniq[ok], counts[ok], lens[ok]
+        if uniq.size == 0:
+            break
+        gain = counts * (lens - 1)
+        top = np.argsort(gain)[::-1][:budget]
+        sel = np.sort(uniq[top])
+        n_new = sel.size
+        if next_code - 256 + n_new > MAX_SYM - 1:
+            n_new = MAX_SYM - 1 - (next_code - 256)
+            if n_new <= 0:
+                break
+            sel = sel[:n_new]
+        # map each selected pair -> its new code
+        pos = np.searchsorted(sel, pairs)
+        pos[pos == sel.size] = 0
+        match = sel[np.minimum(pos, sel.size - 1)] == pairs
+        taken = _greedy_nonoverlap(match)
+        if taken.size == 0:
+            break
+        new_codes = next_code + np.searchsorted(sel, pairs[taken])
+        # record expansions
+        def expand(v: int) -> bytes:
+            return bytes([v]) if v < 256 else expansions[v - 256]
+
+        for pv in sel.tolist():
+            expansions.append(expand(pv // 65536) + expand(pv % 65536))
+        exp_len = np.concatenate(
+            (exp_len, exp_len[sel // 65536] + exp_len[sel % 65536])
+        )
+        keep = np.ones(work.size, dtype=bool)
+        keep[taken + 1] = False
+        out = work.copy()
+        out[taken] = new_codes.astype(np.int32)
+        work = out[keep]
+        next_code += sel.size
+
+    return expansions, work
+
+
+def fsst_encode(values: np.ndarray) -> bytes:
+    data = np.frombuffer(values.astype("<i4", copy=False).tobytes(), dtype=np.uint8)
+    n_bytes = data.size
+    if n_bytes == 0:
+        return struct.pack("<IB", 0, 0)
+    expansions, work = _train_and_parse(data)
+    n_merged = len(expansions)
+
+    # symbol table: all merged codes first, then most-frequent literals fill
+    # the remaining code space; uncoded literals use the escape.
+    vals, counts = np.unique(work, return_counts=True)
+    lit_mask = vals < 256
+    lit_vals, lit_counts = vals[lit_mask], counts[lit_mask]
+    room = MAX_SYM - 1 - n_merged
+    top_lits = lit_vals[np.argsort(lit_counts)[::-1][:room]]
+
+    # code assignment: merged code i -> i; literal top_lits[j] -> n_merged+j
+    code_of = np.full(256 + n_merged, -1, dtype=np.int64)
+    code_of[256:] = np.arange(n_merged)
+    code_of[top_lits] = n_merged + np.arange(top_lits.size)
+    symbols = expansions + [bytes([int(v)]) for v in top_lits]
+
+    codes = code_of[work]
+    coded = codes >= 0
+    widths = np.where(coded, 1, 2)
+    out = np.empty(int(widths.sum()), dtype=np.uint8)
+    starts = np.zeros(work.size, dtype=np.int64)
+    starts[1:] = np.cumsum(widths)[:-1]
+    out[starts[coded]] = codes[coded]
+    esc_at = starts[~coded]
+    out[esc_at] = ESC
+    out[esc_at + 1] = work[~coded]  # uncoded values are always literals < 256
+
+    head = struct.pack("<IB", n_bytes, len(symbols))
+    lens = bytes(len(s) for s in symbols)
+    return head + lens + b"".join(symbols) + out.tobytes()
+
+
+def fsst_decode(buf: bytes) -> np.ndarray:
+    n_bytes, n_sym = struct.unpack_from("<IB", buf, 0)
+    if n_bytes == 0:
+        return np.empty(0, dtype=np.int32)
+    pos = 5
+    lens = np.frombuffer(buf, dtype=np.uint8, count=n_sym, offset=pos).astype(np.int64)
+    pos += n_sym
+    symbols = []
+    for ln in lens.tolist():
+        symbols.append(buf[pos : pos + ln])
+        pos += ln
+    stream = np.frombuffer(buf, dtype=np.uint8, offset=pos)
+
+    # escape parsing: within each maximal run of ESC bytes, offsets 0,2,4...
+    # are escape starters consuming the following byte as a literal.
+    esc_idx = np.flatnonzero(stream == ESC)
+    if esc_idx.size:
+        brk = np.flatnonzero(np.diff(esc_idx) > 1) + 1
+        run_id = np.zeros(esc_idx.size, dtype=np.int64)
+        run_id[brk] = 1
+        run_id = np.cumsum(run_id)
+        run_first = esc_idx[np.concatenate(([0], brk))][run_id]
+        starters = esc_idx[((esc_idx - run_first) & 1) == 0]
+    else:
+        starters = esc_idx
+
+    is_literal = np.zeros(stream.size, dtype=bool)
+    is_literal[starters + 1] = True
+    is_starter = np.zeros(stream.size, dtype=bool)
+    is_starter[starters] = True
+    token_pos = np.flatnonzero(~is_literal)  # starters + plain codes
+
+    # expansion matrix: row per token kind; escape tokens expand to 1 literal
+    pad = np.zeros((n_sym + 1, MAX_LEN), dtype=np.uint8)
+    for i, s in enumerate(symbols):
+        pad[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    all_lens = np.concatenate((lens, [1]))
+
+    kinds = np.where(is_starter[token_pos], n_sym, stream[token_pos]).astype(np.int64)
+    rows = pad[kinds]
+    # escape rows carry their literal byte
+    st_mask = kinds == n_sym
+    rows[st_mask, 0] = stream[token_pos[st_mask] + 1]
+    mask = np.arange(MAX_LEN) < all_lens[kinds][:, None]
+    data = rows[mask]
+    if data.size != n_bytes:
+        raise ValueError(f"fsst decode length mismatch: {data.size} != {n_bytes}")
+    return np.frombuffer(data.tobytes(), dtype="<i4").copy()
+
+
+core.register(core.FSST, fsst_encode, fsst_decode)

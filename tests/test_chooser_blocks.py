@@ -1,0 +1,61 @@
+"""Chooser + block layer tests: the chooser must route every regime to a
+codec whose measured size is within 10% of the best, and blocks must
+round-trip row-exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gdelta_spark import blocks, chooser, fixtures
+from gdelta_spark.codecs import core
+from gdelta_spark.codecs.delta import tokens_to_bytes
+
+
+def _regime_rows(regime: str, n: int = 12) -> list[np.ndarray]:
+    return [fixtures.make_tokens(42, regime, i) for i in range(n)]
+
+
+@pytest.mark.parametrize("regime", fixtures.REGIMES)
+def test_block_roundtrip_auto(regime):
+    rows = _regime_rows(regime)
+    base = tokens_to_bytes(fixtures.base_sequence(42, regime))
+    blob, cid = blocks.encode_block_rows(rows, base=base)
+    out = blocks.decode_block_rows(blob, base=base)
+    assert len(out) == len(rows)
+    for a, b in zip(rows, out):
+        assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("regime", fixtures.REGIMES)
+def test_chooser_is_near_optimal(regime):
+    rows = _regime_rows(regime)
+    base = tokens_to_bytes(fixtures.base_sequence(42, regime))
+    values = np.concatenate(rows)
+    chosen, est = chooser.choose_codec(values, rows[:3], base)
+    sizes = {}
+    for cid in [core.RAW, core.DICT, core.RLE, core.FOR, core.FSST, core.GDELTA]:
+        sizes[cid] = len(core.encode_block(values, cid, base=base))
+    best = min(sizes.values())
+    assert sizes[chosen] <= best * 1.10, (
+        f"{regime}: chose {core.CODEC_NAMES[chosen]} ({sizes[chosen]}B) "
+        f"vs best {best}B; est={est}"
+    )
+
+
+def test_raw_fallback_guard():
+    """Incompressible data must never expand past raw + header."""
+    rng = np.random.default_rng(3)
+    rows = [rng.integers(-(1 << 31), (1 << 31) - 1, 4096, dtype=np.int64).astype(np.int32)]
+    blob, cid = blocks.encode_block_rows(rows, codec_id=core.FSST)
+    assert cid == core.RAW
+    assert len(blob) <= rows[0].nbytes + 64
+
+
+def test_empty_and_single():
+    for rows in ([], [np.empty(0, dtype=np.int32)], [np.array([7], dtype=np.int32)]):
+        blob, cid = blocks.encode_block_rows(rows)
+        out = blocks.decode_block_rows(blob)
+        assert len(out) == len(rows)
+        for a, b in zip(rows, out):
+            assert np.array_equal(a, b)
