@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], measures encode throughput
+on the deterministic fixture corpus at two parallelism levels (local[N/4] vs
+local[N] — the sandbox stand-in for N vs 4N executors, BASELINE.md), and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "encode": {...}, "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "60000"))  # per corpus
+
+HEADLINE = [
+    "roundtrip_auto",
+    "roundtrip_gdelta",
+    "compression_summary",
+    "tokenize_stats",
+    "vocab_topk",
+    "bucket_histogram",
+    "event_runs",
+    "dedup_exact",
+]
+
+
+def _run_queries() -> tuple[dict[str, float], float]:
+    import __spark_entry__ as entry_mod
+    from gdelta_spark.pipeline.session import get_spark
+
+    spark = get_spark("gdelta-bench-queries", master=f"local[{CPUS}]")
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+    spark.stop()
+    return times, total
+
+
+def _gen_corpus(path: str) -> None:
+    from gdelta_spark.pipeline.generator import write_tokens_table
+    from gdelta_spark.pipeline.session import get_spark
+
+    spark = get_spark("gdelta-bench-gen", master=f"local[{CPUS}]")
+    write_tokens_table(
+        spark, path, rows_per_regime=BENCH_ROWS // 6, num_partitions=CPUS * 2
+    )
+    spark.stop()
+
+
+def _scaling_run(input_path: str, cores: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "encode_bench.py"),
+            "--input", input_path,
+            "--cores", str(cores),
+            "--group-mb", "8",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    queries, q_total = _run_queries()
+
+    corpus = "/tmp/gdelta_bench_tokens"
+    if not os.path.exists(corpus + "/_SUCCESS"):
+        _gen_corpus(corpus)
+
+    n_small = max(CPUS // 4, 1)
+    run_small = _scaling_run(corpus, n_small)
+    run_big = _scaling_run(corpus, CPUS)
+    eff = run_big["gbps"] / (run_small["gbps"] * (CPUS / n_small))
+
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(q_total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        "encode": {
+            "corpus_rows": run_big["rows"],
+            "token_gb": round(run_big["token_bytes"] / 1e9, 3),
+            "compression_ratio": round(run_big["raw_bytes"] / run_big["enc_bytes"], 2),
+            "gbps_localN": round(run_big["gbps"], 4),
+        },
+        "scaling": {
+            "cores_small": n_small,
+            "cores_big": CPUS,
+            "gbps_small": round(run_small["gbps"], 4),
+            "gbps_big": round(run_big["gbps"], 4),
+            "efficiency": round(eff, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

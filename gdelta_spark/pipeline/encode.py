@@ -1,0 +1,120 @@
+"""Encode job: tokens DataFrame -> encoded-blocks DataFrame.
+
+The kernel is one ``applyInPandas`` per (source, bucket, salt) group — rows
+arrive as an Arrow batch, all work is numpy (SURVEY §3.2). Per group:
+
+1. sort rows by doc_id (determinism: base election and block boundaries are
+   order-independent),
+2. elect the base chunk = tokens of the min-doc_id row (serialized int32 LE),
+3. slice rows into blocks of ~BLOCK_TOKENS tokens,
+4. per block: cost-based codec choice + encode (raw-fallback guarded),
+5. emit one row per block plus one 'base' bootstrap block (block_id -1,
+   raw-encoded elected row) so decode needs no side channel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from gdelta_spark import blocks
+from gdelta_spark.codecs import core
+from gdelta_spark.codecs.delta import tokens_to_bytes
+from gdelta_spark.pipeline import partitioning
+
+BLOCK_TOKENS = 1 << 19  # ~2 MiB serialized per block
+
+BLOCKS_SCHEMA = (
+    "part_id string, block_id int, codec string, base_doc_id string, "
+    "doc_ids array<string>, n_rows int, n_tokens long, "
+    "raw_bytes long, enc_bytes long, blob binary"
+)
+
+
+def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
+    part_id = pdf["part_id"].iloc[0]
+    arrays = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
+    doc_ids = pdf["doc_id"].tolist()
+
+    base_doc_id = doc_ids[0]
+    base = tokens_to_bytes(arrays[0])
+
+    out = []
+    # bootstrap block: the base row itself, raw (decode reads it first)
+    base_blob, _ = blocks.encode_block_rows([arrays[0]], codec_id=core.RAW)
+    out.append(
+        (part_id, -1, "base", base_doc_id, [base_doc_id], 1,
+         int(arrays[0].size), int(arrays[0].nbytes), len(base_blob), base_blob)
+    )
+
+    block_id = 0
+    i = 0
+    n = len(arrays)
+    while i < n:
+        j = i
+        tok = 0
+        while j < n and (tok == 0 or tok + arrays[j].size <= BLOCK_TOKENS):
+            tok += arrays[j].size
+            j += 1
+        chunk = arrays[i:j]
+        blob, cid = blocks.encode_block_rows(chunk, codec_id=force_codec, base=base)
+        raw_bytes = int(sum(a.nbytes for a in chunk))
+        out.append(
+            (part_id, block_id, core.CODEC_NAMES[cid], base_doc_id,
+             doc_ids[i:j], j - i, int(tok), raw_bytes, len(blob), blob)
+        )
+        block_id += 1
+        i = j
+
+    return pd.DataFrame(
+        out,
+        columns=[
+            "part_id", "block_id", "codec", "base_doc_id", "doc_ids",
+            "n_rows", "n_tokens", "raw_bytes", "enc_bytes", "blob",
+        ],
+    )
+
+
+def encode_blocks(
+    tokens_df: DataFrame,
+    group_bytes: int | None = None,
+    force_codec: int | None = None,
+) -> DataFrame:
+    """tokens (doc_id, tokens, n_tok, source) -> encoded blocks DataFrame."""
+    salted = partitioning.with_salt(
+        tokens_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_group(pdf, force_codec=force_codec)
+
+    return (
+        salted.select("part_id", "doc_id", "tokens")
+        .groupBy("part_id")
+        .applyInPandas(kernel, schema=BLOCKS_SCHEMA)
+    )
+
+
+def encode_blocks_forced(
+    tokens_df: DataFrame, codec_id: int, group_bytes: int | None = None
+) -> DataFrame:
+    """Encode with a single forced codec (raw-fallback guard still applies)."""
+    return encode_blocks(tokens_df, group_bytes=group_bytes, force_codec=codec_id)
+
+
+def partition_summary(blocks_df: DataFrame) -> DataFrame:
+    """Per-partition byte metrics (manifest fields)."""
+    data = blocks_df.filter(F.col("block_id") >= 0)
+    return data.groupBy("part_id").agg(
+        F.first("base_doc_id").alias("base_doc_id"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.array_distinct(F.collect_list("codec")).alias("codecs"),
+    )

@@ -1,0 +1,60 @@
+"""Skew-aware partitioning: n_tok buckets + salting.
+
+One 10^6-token row in an ``applyInPandas`` group stalls the whole group (AQE
+cannot split a Python-UDF group), so skew is handled explicitly, as the north
+rule demands: rows are bucketed by floor(log2(n_tok)) and each (source,
+bucket) is salted so that expected group payload stays under a byte budget.
+Salt counts come from per-bucket sum(n_tok) statistics — heavy-tail buckets
+get more salts. The salt is a deterministic hash of doc_id, so re-runs
+produce identical partitions (required for resume-by-manifest-hash)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# target token bytes per encode group (~64 MiB serialized)
+DEFAULT_GROUP_BYTES = 64 << 20
+
+PART_COLS = ("source", "bucket", "salt")
+
+
+def with_buckets(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.floor(F.log2(F.col("n_tok").cast("double") + F.lit(1.0))).cast("int")
+    )
+
+
+def salt_plan(df_bucketed: DataFrame, group_bytes: int = DEFAULT_GROUP_BYTES) -> DataFrame:
+    """Per (source,bucket): n_salts = ceil(4*sum(n_tok) / group_bytes).
+    Small stats aggregate — broadcast back onto the data."""
+    return (
+        df_bucketed.groupBy("source", "bucket")
+        .agg(F.sum("n_tok").alias("bucket_tokens"), F.count("*").alias("bucket_rows"))
+        .withColumn(
+            "n_salts",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("bucket_tokens") * 4 / F.lit(group_bytes)).cast("int"),
+            ),
+        )
+    )
+
+
+def with_salt(df: DataFrame, group_bytes: int = DEFAULT_GROUP_BYTES) -> DataFrame:
+    """Adds bucket + salt + part_id columns. Two passes over the (cheap)
+    stats, one shuffle for the join — the plan's only wide stage before the
+    encode shuffle itself; the salt-plan side is tiny and broadcast."""
+    b = with_buckets(df)
+    plan = salt_plan(b, group_bytes)
+    return (
+        b.join(F.broadcast(plan.select("source", "bucket", "n_salts")), ["source", "bucket"])
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("doc_id"), F.col("n_salts").cast("long")).cast("int"),
+        )
+        .withColumn(
+            "part_id",
+            F.concat_ws("/", "source", F.format_string("b%02d", "bucket"), F.format_string("s%04d", "salt")),
+        )
+    )

@@ -1,0 +1,204 @@
+"""Iceberg-layout warehouse: parquet data files + self-managed JSON manifests.
+
+No Iceberg runtime jar exists in this sandbox (SURVEY §7), so the warehouse
+implements the Iceberg *pattern* behind a small API: per-partition data files
+committed atomically (write-to-temp + rename), one JSON manifest per
+partition carrying lineage (input content hash, snapshot id, byte metrics,
+codec decisions), and resume = anti-join of pending partitions against
+committed manifest hashes. A real Iceberg catalog slots in behind this module
+without touching the jobs.
+
+Layout:
+    <root>/blocks/<part_id with '/' -> '__'>.parquet
+    <root>/manifests/<part_id...>.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from gdelta_spark.pipeline import encode as encode_mod
+
+
+def _safe(part_id: str) -> str:
+    return part_id.replace("/", "__")
+
+
+def part_hashes(tokens_df: DataFrame) -> DataFrame:
+    """Order-independent per-partition content hash of the *input* rows:
+    sum of xxhash64(doc_id, n_tok, first/last token). Cheap (no token scan
+    beyond two elements) yet sensitive to row set and length changes."""
+    return (
+        tokens_df.withColumn(
+            "row_hash",
+            F.xxhash64(
+                "doc_id",
+                "n_tok",
+                F.try_element_at("tokens", F.lit(1)),  # ANSI-safe on empty arrays
+                F.try_element_at("tokens", F.lit(-1)),
+            ),
+        )
+        .groupBy("part_id")
+        .agg(
+            # bit_xor: order-independent and overflow-free under ANSI mode
+            F.expr("bit_xor(row_hash)").alias("input_hash"),
+            F.count("*").alias("input_rows"),
+        )
+    )
+
+
+class Warehouse:
+    def __init__(self, root: str):
+        self.root = root
+        self.blocks_dir = os.path.join(root, "blocks")
+        self.manifest_dir = os.path.join(root, "manifests")
+        os.makedirs(self.blocks_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifests ----------------------------------------------------------
+
+    def committed_manifests(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def committed_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (m["part_id"], int(m["input_hash"])) for m in self.committed_manifests()
+        ]
+        return spark.createDataFrame(rows, "part_id string, input_hash long")
+
+    def pending(self, spark: SparkSession, salted_tokens: DataFrame) -> DataFrame:
+        """Partitions whose (part_id, input_hash) is not yet committed —
+        a broadcast left-anti join (small manifest side)."""
+        hashes = part_hashes(salted_tokens)
+        committed = self.committed_df(spark)
+        return hashes.join(
+            F.broadcast(committed), ["part_id", "input_hash"], "left_anti"
+        )
+
+    # -- commit -------------------------------------------------------------
+
+    def commit_partition(self, part_id: str, pdf_blocks, manifest: dict) -> None:
+        """Atomic per-partition commit: parquet to temp, rename, then write
+        the manifest (manifest presence == committed)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        final = os.path.join(self.blocks_dir, _safe(part_id) + ".parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.Table.from_pandas(pdf_blocks), tmp, compression="zstd")
+        os.replace(tmp, final)
+
+        mf = os.path.join(self.manifest_dir, _safe(part_id) + ".json")
+        mtmp = mf + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(mtmp, mf)
+
+    def read_blocks(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.blocks_dir)
+
+
+def encode_and_commit(
+    spark: SparkSession,
+    tokens_df: DataFrame,
+    root: str,
+    group_bytes: int | None = None,
+) -> dict:
+    """Full encode pipeline with checkpoint/resume: salt -> pending anti-join
+    -> encode kernel -> per-partition atomic commit (inside the same Spark
+    stage via a second applyInPandas that writes from the executor).
+
+    Returns a job summary dict (partitions encoded/skipped, byte totals).
+    """
+    from gdelta_spark.pipeline import partitioning
+
+    wh = Warehouse(root)
+    salted = partitioning.with_salt(
+        tokens_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES
+    )
+    hashes = part_hashes(salted)
+    committed = wh.committed_df(spark)
+    pending = hashes.join(
+        F.broadcast(committed), ["part_id", "input_hash"], "left_anti"
+    )
+    n_total = hashes.count()
+    todo = pending.collect()  # small: one row per partition
+    n_pending = len(todo)
+    if n_pending == 0:
+        return {"partitions": n_total, "encoded": 0, "skipped": n_total}
+
+    hash_by_part = {r["part_id"]: (int(r["input_hash"]), int(r["input_rows"])) for r in todo}
+    pend_ids = spark.createDataFrame(
+        [(p,) for p in hash_by_part], "part_id string"
+    )
+    work = salted.join(F.broadcast(pend_ids), "part_id")
+
+    import pandas as pd
+
+    snapshot = f"snap-{int(time.time() * 1000)}"
+    root_b = root  # closure capture
+
+    def encode_commit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        part_id = pdf["part_id"].iloc[0]
+        out = encode_mod._encode_group(pdf)
+        wh_local = Warehouse(root_b)
+        data = out[out["block_id"] >= 0]
+        input_hash, input_rows = hash_by_part[part_id]
+        manifest = {
+            "part_id": part_id,
+            "input_hash": input_hash,
+            "snapshot": snapshot,
+            "n_rows": int(data["n_rows"].sum()),
+            "n_tokens": int(data["n_tokens"].sum()),
+            "raw_bytes": int(data["raw_bytes"].sum()),
+            "enc_bytes": int(data["enc_bytes"].sum()),
+            "base_doc_id": out["base_doc_id"].iloc[0],
+            "codecs": sorted(set(data["codec"])),
+            "n_blocks": int(len(data)),
+            "committed_at": time.time(),
+        }
+        if manifest["n_rows"] != input_rows:
+            raise ValueError(f"{part_id}: row count drift {manifest['n_rows']} vs {input_rows}")
+        wh_local.commit_partition(part_id, out, manifest)
+        return pd.DataFrame(
+            {
+                "part_id": [part_id],
+                "n_rows": [manifest["n_rows"]],
+                "raw_bytes": [manifest["raw_bytes"]],
+                "enc_bytes": [manifest["enc_bytes"]],
+            }
+        )
+
+    summary_df = (
+        work.select("part_id", "doc_id", "tokens")
+        .groupBy("part_id")
+        .applyInPandas(
+            encode_commit_group,
+            schema="part_id string, n_rows long, raw_bytes long, enc_bytes long",
+        )
+    )
+    agg = summary_df.agg(
+        F.count("*").alias("parts"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("raw_bytes").alias("raw"),
+        F.sum("enc_bytes").alias("enc"),
+    ).collect()[0]
+    return {
+        "partitions": n_total,
+        "encoded": int(agg["parts"] or 0),
+        "skipped": n_total - n_pending,
+        "rows": int(agg["rows"] or 0),
+        "raw_bytes": int(agg["raw"] or 0),
+        "enc_bytes": int(agg["enc"] or 0),
+    }

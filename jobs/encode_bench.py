@@ -1,0 +1,64 @@
+"""Scaling-bench worker: encode a fixed parquet tokens table at a given
+parallelism, print one JSON line with wall time + token GB/s. Used by
+bench.py to evidence the N vs 4N scaling criterion (local[8] vs local[32]
+stand-in, BASELINE.md protocol)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from gdelta_spark.pipeline.encode import encode_blocks  # noqa: E402
+from gdelta_spark.pipeline.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--group-mb", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        f"gdelta-bench-{args.cores}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores * 2,
+    )
+    tokens = spark.read.parquet(args.input)
+    # warm the input page cache / JVM before the measured run
+    n_rows, n_bytes = tokens.agg(
+        F.count("*"), F.sum(F.col("n_tok").cast("long")) * 4
+    ).collect()[0]
+
+    t0 = time.time()
+    blocks = encode_blocks(tokens, group_bytes=args.group_mb << 20)
+    agg = blocks.filter(F.col("block_id") >= 0).agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    ).collect()[0]
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cores": args.cores,
+                "rows": int(n_rows),
+                "token_bytes": int(n_bytes),
+                "raw_bytes": int(agg["raw"]),
+                "enc_bytes": int(agg["enc"]),
+                "wall_sec": wall,
+                "gbps": n_bytes / wall / 1e9,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
