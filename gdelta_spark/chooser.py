@@ -21,6 +21,7 @@ from gdelta_spark.codecs.delta import tokens_to_bytes
 from gdelta_spark.codecs.light import bit_width
 
 SAMPLE_TOKENS = 32_768
+PROBE_TOKENS = 2_048  # per-row gdelta similarity probe size
 
 
 @dataclass
@@ -42,11 +43,15 @@ def collect_stats(values: np.ndarray, sample_rows: list[np.ndarray], base: bytes
     if base is not None and sample_rows:
         from gdelta_spark.codecs.gdelta_codec import gdelta_encode
 
+        # bounded probe: slices keep the worst case (highly repetitive
+        # windows -> dense spurious matches) cheap, and near-dup rows show
+        # their similarity in any aligned prefix
+        probe_base = base[: 4 * PROBE_TOKENS]
         raw = enc = 0
         for row in sample_rows[:3]:
-            rb = tokens_to_bytes(row[: SAMPLE_TOKENS])
+            rb = tokens_to_bytes(row[:PROBE_TOKENS])
             raw += len(rb)
-            enc += len(gdelta_encode(rb, base))
+            enc += len(gdelta_encode(rb, probe_base))
         sim = enc / raw if raw else 1.0
     return BlockStats(int(values.size), card, n_runs, rng, sim)
 
@@ -107,4 +112,7 @@ def choose_codec(
             values.size / max(sample.size, 1)
         )
     winner = min(measured, key=measured.get)
+    # near-tie: prefer raw (cheapest decode, no ambiguity from estimate noise)
+    if "raw" in measured and measured["raw"] <= measured[winner] * 1.02:
+        winner = "raw"
     return core.CODEC_IDS[winner], est

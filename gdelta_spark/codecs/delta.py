@@ -49,7 +49,10 @@ def gdelta_rows_payload(arrays: list[np.ndarray], base: bytes) -> bytes:
 
     if base is None:
         raise ValueError("gdelta block codec requires a base chunk")
-    blobs = [gdelta_encode(tokens_to_bytes(a), base) for a in arrays]
+    from gdelta_spark.codecs.gdelta_codec import precompute_base_fps
+
+    base_fps = precompute_base_fps(base) if len(arrays) > 1 else None
+    blobs = [gdelta_encode(tokens_to_bytes(a), base, base_fps) for a in arrays]
     lens = np.array([len(b) for b in blobs], dtype=np.int64)
     return struct.pack("<I", len(blobs)) + _pack_for(lens) + b"".join(blobs)
 

@@ -31,6 +31,7 @@ MAX_LEN = 8
 ROUNDS = 6
 MERGES_PER_ROUND = (96, 64, 40, 24, 16, 14)
 MIN_COUNT = 4
+TRAIN_PAIRS = 1 << 18  # pair-counting sample per round
 
 
 def _greedy_nonoverlap(match: np.ndarray) -> np.ndarray:
@@ -59,7 +60,9 @@ def _train_and_parse(data: np.ndarray) -> tuple[list[bytes], np.ndarray]:
         if work.size < 2:
             break
         pairs = work[:-1].astype(np.int64) * 65536 + work[1:]
-        uniq, counts = np.unique(pairs, return_counts=True)
+        # train on a bounded sample (pair counting is the expensive step);
+        # merges still apply to the full stream
+        uniq, counts = np.unique(pairs[:TRAIN_PAIRS], return_counts=True)
         lens = exp_len[uniq // 65536] + exp_len[uniq % 65536]
         ok = (counts >= MIN_COUNT) & (lens <= MAX_LEN)
         uniq, counts, lens = uniq[ok], counts[ok], lens[ok]

@@ -192,7 +192,11 @@ def _gear_fingerprints(data: np.ndarray) -> np.ndarray:
 
 
 def _build_hash_table(
-    base8: np.ndarray, beg_size: int, end_size: int, bit: int
+    base8: np.ndarray,
+    beg_size: int,
+    end_size: int,
+    bit: int,
+    base_fps: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Single-slot hash table over the base interior: fingerprint top ``bit``
     bits -> absolute base position. Sampling every 2nd window starting at
@@ -204,14 +208,20 @@ def _build_hash_table(
     """
     table = np.zeros(1 << bit, dtype=np.uint32)
     fp_table = np.zeros(1 << bit, dtype=np.uint64)
-    interior = base8[beg_size : base8.size - end_size]
-    if interior.size < STRLOOK:
+    interior_len = base8.size - end_size - beg_size
+    if interior_len < STRLOOK:
         return table, fp_table
-    fps = _gear_fingerprints(interior)
-    pos = np.arange(2, fps.size, STRLSTEP, dtype=np.int64)
+    n_fps = interior_len - STRLOOK + 1
+    pos = np.arange(2, n_fps, STRLSTEP, dtype=np.int64)
     if pos.size == 0:
         return table, fp_table
-    sampled = fps[pos]
+    if base_fps is not None:
+        # fingerprints shared across rows of a group: slice the full-base
+        # precompute (fp of interior position p == fp of base position beg+p)
+        sampled = base_fps[pos + beg_size]
+    else:
+        fps = _gear_fingerprints(base8[beg_size : base8.size - end_size])
+        sampled = fps[pos]
     # .view(int64) = zero-copy reinterpret; top-bits shift keeps values < 2^63
     idx = (sampled >> np.uint64(64 - bit)).view(np.int64)
     vals = (pos + beg_size).astype(np.uint32)
@@ -249,7 +259,13 @@ def _last_mismatch_run(a: np.ndarray, b: np.ndarray, limit: int) -> int:
     return limit if not rev[i] else i
 
 
-def gdelta_encode(new: bytes, base: bytes) -> bytes:
+def precompute_base_fps(base: bytes) -> np.ndarray:
+    """Full-base Gear fingerprints, reusable across many gdelta_encode calls
+    against the same base (per-group amortization in the encode kernel)."""
+    return _gear_fingerprints(np.frombuffer(base, dtype=np.uint8))
+
+
+def gdelta_encode(new: bytes, base: bytes, base_fps: np.ndarray | None = None) -> bytes:
     new8 = np.frombuffer(new, dtype=np.uint8)
     base8 = np.frombuffer(base, dtype=np.uint8)
     new_size = new8.size
@@ -291,7 +307,7 @@ def gdelta_encode(new: bytes, base: bytes) -> bytes:
 
     # hash table sizing: bit_length(interior + 10) (gdelta.cpp:321-328)
     bit = ((base_size - beg_size - end_size) + 10).bit_length()
-    table, fp_table = _build_hash_table(base8, beg_size, end_size, bit)
+    table, fp_table = _build_hash_table(base8, beg_size, end_size, bit, base_fps)
 
     n2 = new_size - end_size  # exclusive end of the scan region
     tgt = new8[beg_size:n2]

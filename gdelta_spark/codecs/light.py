@@ -25,25 +25,50 @@ def bit_width(max_val: int) -> int:
 
 
 def bitpack(vals: np.ndarray, width: int) -> bytes:
-    """Pack non-negative uint64 values at ``width`` bits each, little-endian
-    bit order, vectorized via a bit matrix + np.packbits."""
-    if width == 0 or vals.size == 0:
+    """Pack non-negative values at ``width`` bits each, little-endian bit
+    order. Word-lane method: the (word, bit-offset) pattern repeats every 64
+    values, so packing is 64 vectorized shift/or lanes over n/64-length
+    columns (~2 element-ops per value) — no bit matrix."""
+    n = vals.size
+    if width == 0 or n == 0:
         return b""
     v = vals.astype(np.uint64, copy=False)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    m = (n + 63) // 64
+    if m * 64 != n:
+        v = np.concatenate([v, np.zeros(m * 64 - n, dtype=np.uint64)])
+    V = v.reshape(m, 64)
+    out = np.zeros((m, width), dtype=np.uint64)
+    for c in range(64):
+        bitpos = c * width
+        w_i, off = bitpos >> 6, bitpos & 63
+        col = V[:, c]
+        out[:, w_i] |= col << np.uint64(off)
+        rem = off + width - 64
+        if rem > 0:
+            out[:, w_i + 1] |= col >> np.uint64(width - rem)
+    return out.tobytes()[: (n * width + 7) // 8]
 
 
 def bitunpack(buf: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of bitpack -> uint64 array of length n."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    bits = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
-    ).reshape(n, width)
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    m = (n + 63) // 64
+    need = m * width * 8
+    if len(buf) < need:
+        buf = bytes(buf) + b"\x00" * (need - len(buf))
+    W = np.frombuffer(buf, dtype="<u8", count=m * width).reshape(m, width)
+    out = np.empty((m, 64), dtype=np.uint64)
+    mask = np.uint64((1 << width) - 1) if width < 64 else np.uint64(2**64 - 1)
+    for c in range(64):
+        bitpos = c * width
+        w_i, off = bitpos >> 6, bitpos & 63
+        x = W[:, w_i] >> np.uint64(off)
+        rem = off + width - 64
+        if rem > 0:
+            x = x | (W[:, w_i + 1] << np.uint64(width - rem))
+        out[:, c] = x & mask
+    return out.reshape(-1)[:n]
 
 
 def _pack_for(vals: np.ndarray) -> bytes:

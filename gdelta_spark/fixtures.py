@@ -72,7 +72,12 @@ def make_tokens(seed: int, regime: str, i: int) -> np.ndarray:
             total += run
         return np.concatenate(vals)[:n]
     if regime == "lowcard":
-        vocab = rng.integers(0, 1 << 30, 64, dtype=np.int32)
+        # vocab shared across the regime (per-row vocabs would make the
+        # concatenated block high-cardinality, defeating dictionary encoding)
+        vrng = np.random.default_rng(
+            np.random.SeedSequence([seed, REGIMES.index(regime), 1 << 29])
+        )
+        vocab = vrng.integers(0, 1 << 30, 64, dtype=np.int32)
         return vocab[rng.integers(0, 64, n)]
     if regime == "narrow":
         # shared large base per regime (so partition blocks stay narrow),

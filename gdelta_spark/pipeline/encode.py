@@ -52,6 +52,19 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
          int(arrays[0].size), int(arrays[0].nbytes), len(base_blob), base_blob)
     )
 
+    # codec choice once per group (groups are partition-homogeneous by
+    # construction); the per-block raw-fallback guard still protects
+    # against local expansion
+    group_codec = force_codec
+    if group_codec is None:
+        from gdelta_spark import chooser
+
+        sample = np.concatenate(arrays[:64])[: chooser.SAMPLE_TOKENS * 4]
+        # probe rows exclude arrays[0]: it IS the base (self-delta ~ 0 bytes
+        # would wildly overestimate gdelta's win)
+        probe_rows = arrays[1:4] if len(arrays) > 1 else arrays[:1]
+        group_codec, _ = chooser.choose_codec(sample, probe_rows, base)
+
     block_id = 0
     i = 0
     n = len(arrays)
@@ -62,7 +75,7 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
             tok += arrays[j].size
             j += 1
         chunk = arrays[i:j]
-        blob, cid = blocks.encode_block_rows(chunk, codec_id=force_codec, base=base)
+        blob, cid = blocks.encode_block_rows(chunk, codec_id=group_codec, base=base)
         raw_bytes = int(sum(a.nbytes for a in chunk))
         out.append(
             (part_id, block_id, core.CODEC_NAMES[cid], base_doc_id,
