@@ -80,17 +80,46 @@ def _scaling_run(input_path: str, cores: int) -> dict:
     return json.loads(line)
 
 
+def _kernel_scaling(input_path: str, n: int, reps: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "jobs" / "kernel_scaling_bench.py"),
+            "--input", input_path,
+            "--n", str(n),
+            "--reps", str(reps),
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> None:
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     queries, q_total = _run_queries()
 
-    corpus = "/tmp/gdelta_bench_tokens"
+    corpus = f"/tmp/gdelta_bench_tokens_{BENCH_ROWS}"
     if not os.path.exists(corpus + "/_SUCCESS"):
         _gen_corpus(corpus)
 
+    # Spark-job scaling: interleave N and 4N reps, keep each level's best
+    # (this sandbox's background load varies minute-to-minute)
     n_small = max(CPUS // 4, 1)
-    run_small = _scaling_run(corpus, n_small)
-    run_big = _scaling_run(corpus, CPUS)
+    run_small: dict = {}
+    run_big: dict = {}
+    for _ in range(reps):
+        s = _scaling_run(corpus, n_small)
+        b = _scaling_run(corpus, CPUS)
+        if not run_small or s["wall_sec"] < run_small["wall_sec"]:
+            run_small = s
+        if not run_big or b["wall_sec"] < run_big["wall_sec"]:
+            run_big = b
     eff = run_big["gbps"] / (run_small["gbps"] * (CPUS / n_small))
+
+    # kernel-level scaling: the encode compute in a process pool (isolates
+    # the engine from Spark fixed stage costs; mirrors executor scale-out)
+    kern = _kernel_scaling(corpus, n_small, reps)
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -110,6 +139,13 @@ def main() -> None:
             "gbps_small": round(run_small["gbps"], 4),
             "gbps_big": round(run_big["gbps"], 4),
             "efficiency": round(eff, 3),
+        },
+        "kernel_scaling": {
+            "procs_small": kern["small"]["procs"],
+            "procs_big": kern["big"]["procs"],
+            "gbps_small": round(kern["small"]["gbps"], 4),
+            "gbps_big": round(kern["big"]["gbps"], 4),
+            "efficiency": round(kern["efficiency"], 3),
         },
     }
     print(json.dumps(result))

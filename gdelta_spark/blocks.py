@@ -29,6 +29,7 @@ def encode_block_rows(
     token_arrays: list[np.ndarray],
     codec_id: int | None = None,
     base: bytes | None = None,
+    rows_bytes: list[bytes] | None = None,
 ) -> tuple[bytes, int]:
     """Encode rows as one block; returns (blob, codec_id). ``codec_id`` None
     means auto-choose. Applies the raw-fallback guard: if the chosen codec
@@ -45,7 +46,7 @@ def encode_block_rows(
         from gdelta_spark.codecs import delta
 
         payload = bytes([core.MAGIC, core.VERSION, core.GDELTA])
-        payload += delta.gdelta_rows_payload(arrays, base)
+        payload += delta.gdelta_rows_payload(arrays, base, rows_bytes=rows_bytes)
     else:
         payload = core.encode_block(values, codec_id)
     if codec_id != core.RAW and len(payload) >= values.nbytes + 8:

@@ -33,7 +33,9 @@ def gdelta_block_decode(payload: bytes, base: bytes) -> np.ndarray:
 core.register(core.GDELTA, gdelta_block_encode, gdelta_block_decode)
 
 
-def gdelta_rows_payload(arrays: list[np.ndarray], base: bytes) -> bytes:
+def gdelta_rows_payload(
+    arrays: list[np.ndarray], base: bytes, rows_bytes: list[bytes] | None = None
+) -> bytes:
     """Row-wise delta payload: each row is delta-encoded against the base
     chunk separately. Concatenating rows first would defeat the reference's
     prefix/suffix elision (gdelta.cpp:234-272): elided base regions are
@@ -51,8 +53,10 @@ def gdelta_rows_payload(arrays: list[np.ndarray], base: bytes) -> bytes:
         raise ValueError("gdelta block codec requires a base chunk")
     from gdelta_spark.codecs.gdelta_codec import precompute_base_fps
 
-    base_fps = precompute_base_fps(base) if len(arrays) > 1 else None
-    blobs = [gdelta_encode(tokens_to_bytes(a), base, base_fps) for a in arrays]
+    if rows_bytes is None:
+        rows_bytes = [tokens_to_bytes(a) for a in arrays]
+    base_fps = precompute_base_fps(base) if len(rows_bytes) > 1 else None
+    blobs = [gdelta_encode(rb, base, base_fps) for rb in rows_bytes]
     lens = np.array([len(b) for b in blobs], dtype=np.int64)
     return struct.pack("<I", len(blobs)) + _pack_for(lens) + b"".join(blobs)
 

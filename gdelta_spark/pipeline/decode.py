@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from gdelta_spark import blocks
 from gdelta_spark.codecs.delta import tokens_to_bytes
 
-DECODED_SCHEMA = "doc_id string, tokens array<int>"
+DECODED_SCHEMA = "doc_id string, tok_bytes binary"
 
 
 def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -31,28 +31,43 @@ def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     base = tokens_to_bytes(base_arr)
 
     out_ids: list[str] = []
-    out_tokens: list[np.ndarray] = []
+    out_bytes: list[bytes] = []
     for _, row in pdf[pdf["block_id"] >= 0].iterrows():
         arrays = blocks.decode_block_rows(bytes(row["blob"]), base=base)
         ids = list(row["doc_ids"])
         if len(ids) != len(arrays):
             raise ValueError("doc_ids/rows mismatch in block")
         out_ids.extend(ids)
-        out_tokens.extend(arrays)
-    return pd.DataFrame({"doc_id": out_ids, "tokens": out_tokens})
+        out_bytes.extend(a.astype("<i4", copy=False).tobytes() for a in arrays)
+    return pd.DataFrame({"doc_id": out_ids, "tok_bytes": out_bytes})
 
 
-def decode_tokens(blocks_df: DataFrame) -> DataFrame:
+def decode_tokens_bytes(blocks_df: DataFrame) -> DataFrame:
+    """blocks -> (doc_id, tok_bytes binary): binary stays binary through the
+    Arrow boundary (the array<int> path is ~50x slower, see serde.py)."""
     return blocks_df.groupBy("part_id").applyInPandas(
         _decode_group, schema=DECODED_SCHEMA
     )
 
 
+def decode_tokens(blocks_df: DataFrame) -> DataFrame:
+    """blocks -> (doc_id, tokens array<int>) for downstream consumers."""
+    from gdelta_spark.pipeline import serde
+
+    return serde.deserialize_tokens(decode_tokens_bytes(blocks_df), keep=("doc_id",))
+
+
 def verify_roundtrip(tokens_df: DataFrame, blocks_df: DataFrame) -> DataFrame:
-    """Per-row equality report: (doc_id, ok). Join is a plain shuffle join on
-    doc_id; `<=>` handles nulls. All-true == bit-identical corpus."""
-    decoded = decode_tokens(blocks_df).withColumnRenamed("tokens", "decoded")
-    return tokens_df.select("doc_id", "tokens").join(decoded, "doc_id", "full").select(
+    """Per-row equality report: (doc_id, ok). Both sides are serialized int32
+    LE bytes, so binary equality == token-array equality; the join and the
+    compare stay JVM-side."""
+    from gdelta_spark.pipeline import serde
+
+    src = serde.serialize_tokens(tokens_df, keep=("doc_id",)).withColumnRenamed(
+        "tok_bytes", "src_bytes"
+    )
+    decoded = decode_tokens_bytes(blocks_df).withColumnRenamed("tok_bytes", "dec_bytes")
+    return src.join(decoded, "doc_id", "full").select(
         "doc_id",
-        F.expr("tokens <=> decoded").alias("ok"),
+        F.expr("src_bytes <=> dec_bytes").alias("ok"),
     )

@@ -38,11 +38,14 @@ BLOCKS_SCHEMA = (
 def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataFrame:
     pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
     part_id = pdf["part_id"].iloc[0]
-    arrays = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
+    # rows arrive pre-serialized (binary cells — see serde.py); token arrays
+    # are zero-copy views over them
+    rows_bytes = [bytes(c) for c in pdf["tok_bytes"]]
+    arrays = [np.frombuffer(c, dtype="<i4") for c in rows_bytes]
     doc_ids = pdf["doc_id"].tolist()
 
     base_doc_id = doc_ids[0]
-    base = tokens_to_bytes(arrays[0])
+    base = rows_bytes[0]
 
     out = []
     # bootstrap block: the base row itself, raw (decode reads it first)
@@ -75,7 +78,9 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
             tok += arrays[j].size
             j += 1
         chunk = arrays[i:j]
-        blob, cid = blocks.encode_block_rows(chunk, codec_id=group_codec, base=base)
+        blob, cid = blocks.encode_block_rows(
+            chunk, codec_id=group_codec, base=base, rows_bytes=rows_bytes[i:j]
+        )
         raw_bytes = int(sum(a.nbytes for a in chunk))
         out.append(
             (part_id, block_id, core.CODEC_NAMES[cid], base_doc_id,
@@ -93,24 +98,43 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
     )
 
 
-def encode_blocks(
-    tokens_df: DataFrame,
+def encode_blocks_bin(
+    bin_df: DataFrame,
     group_bytes: int | None = None,
     force_codec: int | None = None,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
-    """tokens (doc_id, tokens, n_tok, source) -> encoded blocks DataFrame."""
+    """(doc_id, n_tok, source, tok_bytes) -> encoded blocks DataFrame.
+
+    ``stats_df``: optional cheap (n_tok, source) source for the salt plan so
+    the heavy binary scan runs exactly once (see partitioning.with_salt)."""
     salted = partitioning.with_salt(
-        tokens_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES
+        bin_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES, stats_df=stats_df
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return _encode_group(pdf, force_codec=force_codec)
 
     return (
-        salted.select("part_id", "doc_id", "tokens")
+        salted.select("part_id", "doc_id", "tok_bytes")
         .groupBy("part_id")
         .applyInPandas(kernel, schema=BLOCKS_SCHEMA)
     )
+
+
+def encode_blocks(
+    tokens_df: DataFrame,
+    group_bytes: int | None = None,
+    force_codec: int | None = None,
+) -> DataFrame:
+    """tokens (doc_id, tokens, n_tok, source) -> encoded blocks DataFrame.
+
+    For parquet-backed inputs prefer pyscan.scan_tokens_binary +
+    encode_blocks_bin (skips the slow JVM array->Arrow conversion)."""
+    from gdelta_spark.pipeline import serde
+
+    bin_df = serde.serialize_tokens(tokens_df, keep=("doc_id", "n_tok", "source"))
+    return encode_blocks_bin(bin_df, group_bytes=group_bytes, force_codec=force_codec)
 
 
 def encode_blocks_forced(

@@ -41,12 +41,17 @@ def salt_plan(df_bucketed: DataFrame, group_bytes: int = DEFAULT_GROUP_BYTES) ->
     )
 
 
-def with_salt(df: DataFrame, group_bytes: int = DEFAULT_GROUP_BYTES) -> DataFrame:
-    """Adds bucket + salt + part_id columns. Two passes over the (cheap)
-    stats, one shuffle for the join — the plan's only wide stage before the
-    encode shuffle itself; the salt-plan side is tiny and broadcast."""
+def with_salt(
+    df: DataFrame,
+    group_bytes: int = DEFAULT_GROUP_BYTES,
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """Adds bucket + salt + part_id columns. The salt plan aggregates only
+    (source, n_tok) — pass ``stats_df`` (e.g. a column-pruned JVM parquet
+    scan) so the stats pass never touches the token payload; the plan side is
+    tiny and broadcast."""
     b = with_buckets(df)
-    plan = salt_plan(b, group_bytes)
+    plan = salt_plan(with_buckets(stats_df) if stats_df is not None else b, group_bytes)
     return (
         b.join(F.broadcast(plan.select("source", "bucket", "n_salts")), ["source", "bucket"])
         .withColumn(

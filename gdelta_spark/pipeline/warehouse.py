@@ -30,20 +30,12 @@ def _safe(part_id: str) -> str:
     return part_id.replace("/", "__")
 
 
-def part_hashes(tokens_df: DataFrame) -> DataFrame:
+def part_hashes(salted_bin_df: DataFrame) -> DataFrame:
     """Order-independent per-partition content hash of the *input* rows:
-    sum of xxhash64(doc_id, n_tok, first/last token). Cheap (no token scan
-    beyond two elements) yet sensitive to row set and length changes."""
+    xor of xxhash64(doc_id, full serialized token bytes) — full content
+    integrity, one JVM-side pass."""
     return (
-        tokens_df.withColumn(
-            "row_hash",
-            F.xxhash64(
-                "doc_id",
-                "n_tok",
-                F.try_element_at("tokens", F.lit(1)),  # ANSI-safe on empty arrays
-                F.try_element_at("tokens", F.lit(-1)),
-            ),
-        )
+        salted_bin_df.withColumn("row_hash", F.xxhash64("doc_id", "tok_bytes"))
         .groupBy("part_id")
         .agg(
             # bit_xor: order-independent and overflow-free under ANSI mode
@@ -111,7 +103,7 @@ class Warehouse:
 
 def encode_and_commit(
     spark: SparkSession,
-    tokens_df: DataFrame,
+    tokens: DataFrame | str,
     root: str,
     group_bytes: int | None = None,
 ) -> dict:
@@ -119,13 +111,24 @@ def encode_and_commit(
     -> encode kernel -> per-partition atomic commit (inside the same Spark
     stage via a second applyInPandas that writes from the executor).
 
+    ``tokens``: a tokens DataFrame (array<int> or pre-serialized binary) or a
+    parquet path (read Python-natively — the fast path at scale, see pyscan).
     Returns a job summary dict (partitions encoded/skipped, byte totals).
     """
-    from gdelta_spark.pipeline import partitioning
+    from gdelta_spark.pipeline import partitioning, serde
+
+    if isinstance(tokens, str):
+        from gdelta_spark.pipeline import pyscan
+
+        bin_df = pyscan.scan_tokens_binary(spark, tokens)
+    elif serde.TOK_BYTES_COL in tokens.columns:
+        bin_df = tokens
+    else:
+        bin_df = serde.serialize_tokens(tokens, keep=("doc_id", "n_tok", "source"))
 
     wh = Warehouse(root)
     salted = partitioning.with_salt(
-        tokens_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES
+        bin_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES
     )
     hashes = part_hashes(salted)
     committed = wh.committed_df(spark)
@@ -181,7 +184,7 @@ def encode_and_commit(
         )
 
     summary_df = (
-        work.select("part_id", "doc_id", "tokens")
+        work.select("part_id", "doc_id", "tok_bytes")
         .groupBy("part_id")
         .applyInPandas(
             encode_commit_group,

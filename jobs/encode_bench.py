@@ -30,15 +30,25 @@ def main() -> None:
         f"gdelta-bench-{args.cores}",
         master=f"local[{args.cores}]",
         shuffle_partitions=args.cores * 2,
+        # keep the apply stage at 2 tasks/core; AQE's 64MB advisory target
+        # would coalesce it to ~n_bytes/64MB tasks and cap parallelism
+        extra={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
     )
-    tokens = spark.read.parquet(args.input)
-    # warm the input page cache / JVM before the measured run
-    n_rows, n_bytes = tokens.agg(
+    # narrow JVM scan for stats; Python-native scan for the data path
+    meta = spark.read.parquet(args.input)
+    n_rows, n_bytes = meta.agg(
         F.count("*"), F.sum(F.col("n_tok").cast("long")) * 4
     ).collect()[0]
 
+    from gdelta_spark.pipeline.encode import encode_blocks_bin
+    from gdelta_spark.pipeline.pyscan import scan_tokens_binary
+
     t0 = time.time()
-    blocks = encode_blocks(tokens, group_bytes=args.group_mb << 20)
+    blocks = encode_blocks_bin(
+        scan_tokens_binary(spark, args.input),
+        group_bytes=args.group_mb << 20,
+        stats_df=meta.select("n_tok", "source"),
+    )
     agg = blocks.filter(F.col("block_id") >= 0).agg(
         F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
     ).collect()[0]

@@ -1,0 +1,111 @@
+"""Kernel-level scaling bench: the encode kernel driven by a process pool at
+two parallelism levels over identical pre-built groups.
+
+This isolates the ENGINE's compute scaling from Spark's fixed stage costs and
+from this sandbox's noisy-neighbor variance (single-run Spark walls vary up
+to 5x here — see BENCH notes). Separate processes mirror real executors
+(independent memory arenas, no shared-JVM contention).
+
+Prints one JSON line: per-level GB/s + efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _build_groups(input_path: str, group_mb: int) -> list[list[bytes]]:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(input_path, columns=["doc_id", "tokens", "n_tok", "source"])
+    # same grouping rule as the pipeline: (source, log2-bucket), then greedy
+    # byte-budget splits standing in for salts
+    src = tbl.column("source").to_pylist()
+    n_tok = tbl.column("n_tok").to_numpy()
+    order = np.lexsort((tbl.column("doc_id").to_pylist(), np.floor(np.log2(n_tok + 1)), src))
+    toks = tbl.column("tokens")
+    budget = group_mb << 20
+    groups: list[list[bytes]] = []
+    cur: list[bytes] = []
+    cur_bytes = 0
+    prev_key = None
+    for i in order.tolist():
+        key = (src[i], int(np.log2(n_tok[i] + 1)))
+        row = toks[i].values.to_numpy().astype("<i4").tobytes()
+        if key != prev_key or cur_bytes + len(row) > budget:
+            if cur:
+                groups.append(cur)
+            cur, cur_bytes, prev_key = [], 0, key
+        cur.append(row)
+        cur_bytes += len(row)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+_GROUPS: list[list[bytes]] = []
+
+
+def _init(groups):
+    global _GROUPS
+    _GROUPS = groups
+
+
+def _encode_one(gi: int) -> tuple[int, int]:
+    from gdelta_spark import blocks
+    import numpy as np
+
+    rows = _GROUPS[gi]
+    arrays = [np.frombuffer(r, "<i4") for r in rows]
+    blob, _ = blocks.encode_block_rows(arrays, base=rows[0], rows_bytes=rows)
+    return sum(len(r) for r in rows), len(blob)
+
+
+def run_level(groups, procs: int) -> dict:
+    with mp.Pool(procs, initializer=_init, initargs=(groups,)) as pool:
+        t0 = time.time()
+        res = pool.map(_encode_one, range(len(groups)))
+        wall = time.time() - t0
+    raw = sum(r for r, _ in res)
+    enc = sum(e for _, e in res)
+    return {"procs": procs, "wall_sec": wall, "gbps": raw / wall / 1e9,
+            "raw_bytes": raw, "enc_bytes": enc}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--group-mb", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    groups = _build_groups(args.input, args.group_mb)
+    levels: dict[int, dict] = {}
+    # interleave the two levels and keep minima: the sandbox's background
+    # load varies minute-to-minute, so A,B,A,B sampling beats A,A,B,B
+    for _ in range(args.reps):
+        for procs in (args.n, args.n * 4):
+            r = run_level(groups, procs)
+            if procs not in levels or r["wall_sec"] < levels[procs]["wall_sec"]:
+                levels[procs] = r
+    small, big = levels[args.n], levels[args.n * 4]
+    print(json.dumps({
+        "groups": len(groups),
+        "n": args.n,
+        "small": small,
+        "big": big,
+        "efficiency": big["gbps"] / (4 * small["gbps"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
