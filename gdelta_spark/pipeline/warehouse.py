@@ -106,6 +106,7 @@ def encode_and_commit(
     tokens: DataFrame | str,
     root: str,
     group_bytes: int | None = None,
+    part_prefix: str = "",
 ) -> dict:
     """Full encode pipeline with checkpoint/resume: salt -> pending anti-join
     -> encode kernel -> per-partition atomic commit (inside the same Spark
@@ -130,6 +131,12 @@ def encode_and_commit(
     salted = partitioning.with_salt(
         bin_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES
     )
+    if part_prefix:
+        # scope partitions (e.g. per streaming micro-batch) so commits from
+        # different scopes never collide on a part_id
+        salted = salted.withColumn(
+            "part_id", F.concat(F.lit(part_prefix), F.col("part_id"))
+        )
     hashes = part_hashes(salted)
     committed = wh.committed_df(spark)
     pending = hashes.join(
