@@ -57,17 +57,25 @@ def decode_tokens(blocks_df: DataFrame) -> DataFrame:
     return serde.deserialize_tokens(decode_tokens_bytes(blocks_df), keep=("doc_id",))
 
 
-def verify_roundtrip(tokens_df: DataFrame, blocks_df: DataFrame) -> DataFrame:
-    """Per-row equality report: (doc_id, ok). Both sides are serialized int32
-    LE bytes, so binary equality == token-array equality; the join and the
-    compare stay JVM-side."""
-    from gdelta_spark.pipeline import serde
-
-    src = serde.serialize_tokens(tokens_df, keep=("doc_id",)).withColumnRenamed(
-        "tok_bytes", "src_bytes"
+def verify_roundtrip_bin(src_bin_df: DataFrame, blocks_df: DataFrame) -> DataFrame:
+    """Per-row equality report from a pre-serialized source (doc_id,
+    tok_bytes). Binary equality == token-array equality (int32 LE is
+    deterministic); the join and compare stay JVM-side."""
+    src = src_bin_df.select(
+        "doc_id", F.col("tok_bytes").alias("src_bytes")
     )
     decoded = decode_tokens_bytes(blocks_df).withColumnRenamed("tok_bytes", "dec_bytes")
     return src.join(decoded, "doc_id", "full").select(
         "doc_id",
         F.expr("src_bytes <=> dec_bytes").alias("ok"),
+    )
+
+
+def verify_roundtrip(tokens_df: DataFrame, blocks_df: DataFrame) -> DataFrame:
+    """Per-row equality report: (doc_id, ok). All-true == bit-identical
+    corpus — the reference's round-trip test at table scale."""
+    from gdelta_spark.pipeline import serde
+
+    return verify_roundtrip_bin(
+        serde.serialize_tokens(tokens_df, keep=("doc_id",)), blocks_df
     )

@@ -27,7 +27,24 @@ from gdelta_spark.pipeline import encode as encode_mod
 
 
 def _safe(part_id: str) -> str:
-    return part_id.replace("/", "__")
+    return part_id.replace("/", "__").replace("=", "-")
+
+
+def validate_tokens_schema(df: DataFrame) -> None:
+    """Ingest validation of the north-rule input shape (SURVEY §1.2)."""
+    need = {
+        "doc_id": "string",
+        "tokens": "array<int>",
+        "n_tok": "int",
+        "source": "string",
+    }
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in need if c not in have]
+    if missing:
+        raise ValueError(f"tokens table missing columns: {missing}; have {sorted(have)}")
+    wrong = {c: (have[c], t) for c, t in need.items() if have[c] != t}
+    if wrong:
+        raise ValueError(f"tokens table column type mismatch: {wrong}")
 
 
 def part_hashes(salted_bin_df: DataFrame) -> DataFrame:
@@ -118,18 +135,23 @@ def encode_and_commit(
     """
     from gdelta_spark.pipeline import partitioning, serde
 
+    stats_df = None
     if isinstance(tokens, str):
         from gdelta_spark.pipeline import pyscan
 
+        # narrow column-pruned JVM scan feeds the salt plan; the payload
+        # scan (Python-native) then runs exactly once
+        stats_df = spark.read.parquet(tokens).select("n_tok", "source")
         bin_df = pyscan.scan_tokens_binary(spark, tokens)
     elif serde.TOK_BYTES_COL in tokens.columns:
         bin_df = tokens
     else:
+        validate_tokens_schema(tokens)
         bin_df = serde.serialize_tokens(tokens, keep=("doc_id", "n_tok", "source"))
 
     wh = Warehouse(root)
     salted = partitioning.with_salt(
-        bin_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES
+        bin_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES, stats_df=stats_df
     )
     if part_prefix:
         # scope partitions (e.g. per streaming micro-batch) so commits from

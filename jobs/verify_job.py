@@ -29,9 +29,11 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("gdelta-verify", master=args.master)
-    tokens = spark.read.parquet(args.input)
+    from gdelta_spark.pipeline.decode import verify_roundtrip_bin
+    from gdelta_spark.pipeline.pyscan import scan_tokens_binary
+
     blocks = Warehouse(args.warehouse).read_blocks(spark)
-    report = verify_roundtrip(tokens, blocks)
+    report = verify_roundtrip_bin(scan_tokens_binary(spark, args.input), blocks)
     total = report.count()
     bad = report.filter(~F.col("ok")).count()
     print(json.dumps({"rows": total, "mismatches": bad, "ok": bad == 0}))
