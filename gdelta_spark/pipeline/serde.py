@@ -28,7 +28,12 @@ def _list_chunk_to_binary(arr: pa.Array) -> pa.Array:
         arr = arr.combine_chunks()
     if arr.null_count != 0:
         # null rows don't occur in this engine's tables; safe fallback
-        return pa.array([None if v is None else np.asarray(v, "<i4").tobytes() for v in arr])
+        return pa.array(
+            [
+                None if v is None else np.asarray(v, dtype="<i4").tobytes()
+                for v in arr.to_pylist()
+            ]
+        )
     offs = arr.offsets.to_numpy().astype(np.int64)  # honors arr.offset
     values = arr.values
     # values may carry its own offset; fold it into the byte offsets

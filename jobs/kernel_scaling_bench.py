@@ -69,10 +69,26 @@ def _encode_one(gi: int) -> tuple[int, int]:
     return sum(len(r) for r in rows), len(blob)
 
 
-def run_level(groups, procs: int) -> dict:
+def _roundtrip_one(gi: int) -> tuple[int, int]:
+    """encode + decode + verify: measures the full kernel round trip."""
+    from gdelta_spark import blocks
+    import numpy as np
+
+    rows = _GROUPS[gi]
+    arrays = [np.frombuffer(r, "<i4") for r in rows]
+    blob, _ = blocks.encode_block_rows(arrays, base=rows[0], rows_bytes=rows)
+    out = blocks.decode_block_rows(blob, base=rows[0])
+    for a, b in zip(arrays, out):
+        if not np.array_equal(a, b):
+            raise AssertionError(f"group {gi}: roundtrip mismatch")
+    return sum(len(r) for r in rows), len(blob)
+
+
+def run_level(groups, procs: int, roundtrip: bool = False) -> dict:
+    fn = _roundtrip_one if roundtrip else _encode_one
     with mp.Pool(procs, initializer=_init, initargs=(groups,)) as pool:
         t0 = time.time()
-        res = pool.map(_encode_one, range(len(groups)))
+        res = pool.map(fn, range(len(groups)))
         wall = time.time() - t0
     raw = sum(r for r, _ in res)
     enc = sum(e for _, e in res)
@@ -98,12 +114,14 @@ def main() -> None:
             if procs not in levels or r["wall_sec"] < levels[procs]["wall_sec"]:
                 levels[procs] = r
     small, big = levels[args.n], levels[args.n * 4]
+    rt = run_level(groups, args.n * 4, roundtrip=True)
     print(json.dumps({
         "groups": len(groups),
         "n": args.n,
         "small": small,
         "big": big,
         "efficiency": big["gbps"] / (4 * small["gbps"]),
+        "roundtrip_big": rt,  # encode+decode+verify at the big level
     }))
 
 
