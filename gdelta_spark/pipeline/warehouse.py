@@ -159,13 +159,17 @@ def encode_and_commit(
         salted = salted.withColumn(
             "part_id", F.concat(F.lit(part_prefix), F.col("part_id"))
         )
-    hashes = part_hashes(salted)
-    committed = wh.committed_df(spark)
-    pending = hashes.join(
-        F.broadcast(committed), ["part_id", "input_hash"], "left_anti"
-    )
-    n_total = hashes.count()
-    todo = pending.collect()  # small: one row per partition
+    # ONE full pass computes all per-partition hashes (O(partitions) rows);
+    # the pending set is then resolved driver-side against the local
+    # manifest list — no second scan of the corpus.
+    all_hashes = part_hashes(salted).collect()
+    n_total = len(all_hashes)
+    committed = {
+        (m["part_id"], int(m["input_hash"])) for m in wh.committed_manifests()
+    }
+    todo = [
+        r for r in all_hashes if (r["part_id"], int(r["input_hash"])) not in committed
+    ]
     n_pending = len(todo)
     if n_pending == 0:
         return {"partitions": n_total, "encoded": 0, "skipped": n_total}
