@@ -164,6 +164,61 @@ def _q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-banded near-duplicate candidates: per doc, each band's
+    signature is min(md5(word || band)); docs sharing a band signature are
+    candidate pairs. md5 is identical across Spark and DuckDB, so the whole
+    LSH construction is oracle-checkable."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d.createOrReplaceTempView("docs_mh")
+    return spark.sql(
+        """
+        WITH words AS (
+          SELECT doc_id, explode(split(text, ' ')) AS word FROM docs_mh
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 MIN(md5(concat(word, '#b1'))) AS b1,
+                 MIN(md5(concat(word, '#b2'))) AS b2
+          FROM words GROUP BY doc_id
+        ),
+        bands AS (
+          SELECT b1 AS sig, COUNT(*) AS n_docs FROM sigs GROUP BY b1
+          UNION ALL
+          SELECT b2 AS sig, COUNT(*) AS n_docs FROM sigs GROUP BY b2
+        )
+        SELECT sig, SUM(n_docs) AS n_docs FROM bands
+        GROUP BY sig HAVING SUM(n_docs) > 1
+        ORDER BY n_docs DESC, sig
+        """
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality stats per source (integer-only so hashes match):
+    chars, words, docs below a length floor."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.size(F.split("text", " "))).alias("sum_words"),
+            F.sum((F.col("n_chars") < 100).cast("long")).alias("n_short"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang")
+    )
+
+
 def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only metrics query (not SQL-expressible: runs the real encoder)."""
     from gdelta_spark.pipeline import encode as encode_mod
@@ -225,6 +280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_histogram": _q_bucket_histogram,
         "salt_plan": _q_salt_plan,
         "dedup_exact": _q_dedup_exact,
+        "minhash_bands": _q_minhash_bands,
+        "doc_quality": _q_doc_quality,
+        "lang_dist": _q_lang_dist,
         "resume_pending": _q_resume_pending,
         "event_runs": _q_event_runs,
         "compression_summary": _q_compression_summary,
@@ -296,6 +354,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, COUNT(*) AS n_docs, "
             "COUNT(DISTINCT md5(text)) AS n_distinct "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "minhash_bands": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+            ),
+            sigs AS (
+              SELECT doc_id,
+                     MIN(md5(word || '#b1')) AS b1,
+                     MIN(md5(word || '#b2')) AS b2
+              FROM words GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT b1 AS sig, COUNT(*) AS n_docs FROM sigs GROUP BY b1
+              UNION ALL
+              SELECT b2 AS sig, COUNT(*) AS n_docs FROM sigs GROUP BY b2
+            )
+            SELECT sig, SUM(n_docs) AS n_docs FROM bands
+            GROUP BY sig HAVING SUM(n_docs) > 1
+            ORDER BY n_docs DESC, sig
+        """,
+        "doc_quality": (
+            "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, "
+            "SUM(len(string_split(text, ' '))) AS sum_words, "
+            "SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "lang_dist": (
+            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "resume_pending": _RESUME_ORACLE,
         "event_runs": (
