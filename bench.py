@@ -97,6 +97,7 @@ def _kernel_scaling(input_path: str, n: int, reps: int) -> dict:
 
 def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    deadline = time.time() + int(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "900"))
     queries, q_total = _run_queries()
 
     corpus = f"/tmp/gdelta_bench_tokens_{BENCH_ROWS}"
@@ -104,11 +105,14 @@ def main() -> None:
         _gen_corpus(corpus)
 
     # Spark-job scaling: interleave N and 4N reps, keep each level's best
-    # (this sandbox's background load varies minute-to-minute)
+    # (this sandbox's background load varies minute-to-minute); stop early
+    # if the soft deadline approaches so the JSON line always lands
     n_small = max(CPUS // 4, 1)
     run_small: dict = {}
     run_big: dict = {}
-    for _ in range(reps):
+    for rep in range(reps):
+        if rep > 0 and time.time() > deadline - 240:
+            break
         s = _scaling_run(corpus, n_small)
         b = _scaling_run(corpus, CPUS)
         if not run_small or s["wall_sec"] < run_small["wall_sec"]:
@@ -119,7 +123,8 @@ def main() -> None:
 
     # kernel-level scaling: the encode compute in a process pool (isolates
     # the engine from Spark fixed stage costs; mirrors executor scale-out)
-    kern = _kernel_scaling(corpus, n_small, reps)
+    k_reps = reps if time.time() < deadline - 300 else 1
+    kern = _kernel_scaling(corpus, n_small, k_reps)
 
     result = {
         "metric": "headline_queries_total_wall",

@@ -71,6 +71,40 @@ def verify_roundtrip_bin(src_bin_df: DataFrame, blocks_df: DataFrame) -> DataFra
     )
 
 
+def verify_partition_local(salted_bin_df: DataFrame, blocks_df: DataFrame) -> DataFrame:
+    """Partition-local verification: source rows and blocks are cogrouped on
+    part_id and compared inside the kernel — no global doc_id shuffle, the
+    100 TB-scale variant (SCALE.md). Returns (part_id, n_rows, n_ok)."""
+    src = salted_bin_df.select("part_id", "doc_id", "tok_bytes")
+
+    def cmp(src_pdf: pd.DataFrame, blk_pdf: pd.DataFrame) -> pd.DataFrame:
+        part = (
+            src_pdf["part_id"].iloc[0]
+            if len(src_pdf)
+            else blk_pdf["part_id"].iloc[0]
+        )
+        if len(blk_pdf) == 0:
+            return pd.DataFrame(
+                {"part_id": [part], "n_rows": [len(src_pdf)], "n_ok": [0]}
+            )
+        decoded = _decode_group(blk_pdf)
+        dec = dict(zip(decoded["doc_id"], decoded["tok_bytes"]))
+        ok = sum(
+            1
+            for d, b in zip(src_pdf["doc_id"], src_pdf["tok_bytes"])
+            if dec.get(d) == bytes(b)
+        )
+        return pd.DataFrame(
+            {"part_id": [part], "n_rows": [len(src_pdf)], "n_ok": [ok]}
+        )
+
+    return (
+        src.groupBy("part_id")
+        .cogroup(blocks_df.groupBy("part_id"))
+        .applyInPandas(cmp, schema="part_id string, n_rows long, n_ok long")
+    )
+
+
 def verify_roundtrip(tokens_df: DataFrame, blocks_df: DataFrame) -> DataFrame:
     """Per-row equality report: (doc_id, ok). All-true == bit-identical
     corpus — the reference's round-trip test at table scale."""

@@ -117,6 +117,31 @@ class Warehouse:
     def read_blocks(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.blocks_dir)
 
+    def fsck(self) -> dict:
+        """Repair invariants: a manifest whose data file is missing is
+        dropped (its partition re-encodes on the next run); a data file
+        without a manifest is an uncommitted leftover and is removed."""
+        manifests = {
+            name[: -len(".json")]
+            for name in os.listdir(self.manifest_dir)
+            if name.endswith(".json")
+        }
+        data = {
+            name[: -len(".parquet")]
+            for name in os.listdir(self.blocks_dir)
+            if name.endswith(".parquet")
+        }
+        orphan_manifests = manifests - data
+        orphan_data = data - manifests
+        for m in orphan_manifests:
+            os.remove(os.path.join(self.manifest_dir, m + ".json"))
+        for d in orphan_data:
+            os.remove(os.path.join(self.blocks_dir, d + ".parquet"))
+        return {
+            "dropped_manifests": sorted(orphan_manifests),
+            "dropped_data": sorted(orphan_data),
+        }
+
 
 def encode_and_commit(
     spark: SparkSession,

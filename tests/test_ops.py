@@ -1,0 +1,73 @@
+"""Operational surfaces: fsck repair, partition-local verify, decode job."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from gdelta_spark.pipeline import decode as decode_mod
+from gdelta_spark.pipeline import generator, partitioning, serde, warehouse
+
+
+def test_fsck_and_partition_local_verify(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    tokens = generator.tokens_table(spark, rows_per_regime=16, num_partitions=4)
+    tokens.cache().count()
+    s = warehouse.encode_and_commit(spark, tokens, root, group_bytes=4 << 20)
+    assert s["encoded"] > 0
+
+    wh = warehouse.Warehouse(root)
+
+    # partition-local verify: cogroup source + blocks on part_id
+    bin_df = serde.serialize_tokens(tokens, keep=("doc_id", "n_tok", "source"))
+    salted = partitioning.with_salt(bin_df, 4 << 20)
+    report = decode_mod.verify_partition_local(salted, wh.read_blocks(spark))
+    rows = report.collect()
+    assert sum(r["n_rows"] for r in rows) == tokens.count()
+    assert all(r["n_ok"] == r["n_rows"] for r in rows), rows[:3]
+
+    # fsck: orphan manifest (data file removed) and orphan data (manifest
+    # removed) are both repaired
+    manifests = sorted(os.listdir(os.path.join(root, "manifests")))
+    datafiles = sorted(os.listdir(os.path.join(root, "blocks")))
+    os.remove(os.path.join(root, "blocks", datafiles[0]))
+    os.remove(os.path.join(root, "manifests", manifests[-1]))
+    r = wh.fsck()
+    assert len(r["dropped_manifests"]) == 1
+    assert len(r["dropped_data"]) == 1
+    # after fsck, a re-run re-encodes exactly the two broken partitions
+    s2 = warehouse.encode_and_commit(spark, tokens, root, group_bytes=4 << 20)
+    assert s2["encoded"] == 2
+    final = decode_mod.verify_roundtrip(tokens, wh.read_blocks(spark))
+    assert final.filter(~F.col("ok")).count() == 0
+
+
+def test_decode_job_cli(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "tokens")
+    root = str(tmp_path / "wh")
+    out = str(tmp_path / "decoded")
+    generator.write_tokens_table(spark, inp, rows_per_regime=8, num_partitions=2)
+    r = subprocess.run(
+        [sys.executable, "jobs/encode_job.py", "--input", inp, "--warehouse", root,
+         "--group-mb", "4", "--master", "local[4]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    r = subprocess.run(
+        [sys.executable, "jobs/decode_job.py", "--warehouse", root, "--output", out,
+         "--master", "local[4]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["rows"] == 48
+    # decoded table matches source exactly
+    src = spark.read.parquet(inp).select("doc_id", "tokens")
+    dec = spark.read.parquet(out).withColumnRenamed("tokens", "t2")
+    bad = src.join(dec, "doc_id", "full").filter(~F.expr("tokens <=> t2")).count()
+    assert bad == 0
