@@ -95,6 +95,50 @@ def _kernel_scaling(input_path: str, n: int, reps: int) -> dict:
     return json.loads(line)
 
 
+def _ref_size_ratio(corpus: str, n_pairs: int = 24) -> float | None:
+    """our_delta_bytes / cpp_delta_bytes over sampled (base,target) pairs
+    from the corpus' near-dup rows. 1.0 == byte parity (the tests enforce
+    exact blob equality; this is the corpus-level spot check)."""
+    import subprocess
+    import tempfile
+
+    ref = REPO / "build" / "gdelta_ref"
+    if not ref.exists():
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-o", str(ref), "/root/reference/main.cpp",
+                 "/root/reference/gdelta.cpp", "-I/root/reference"],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        import pyarrow.parquet as pq
+
+        from gdelta_spark.codecs.gdelta_codec import gdelta_encode
+
+        tbl = pq.read_table(corpus, columns=["doc_id", "tokens", "source"])
+        mask = [s == "near-dup" for s in tbl.column("source").to_pylist()]
+        idx = [i for i, m in enumerate(mask) if m][: n_pairs + 1]
+        if len(idx) < 2:
+            return None
+        rows = [tbl.column("tokens")[i].values.to_numpy().astype("<i4").tobytes() for i in idx]
+        base, targets = rows[0], rows[1:]
+        ours = ref_total = 0
+        with tempfile.TemporaryDirectory() as d:
+            bp = f"{d}/base"
+            open(bp, "wb").write(base)
+            for t in targets:
+                ours += len(gdelta_encode(t, base))
+                tp, dp = f"{d}/t", f"{d}/d"
+                open(tp, "wb").write(t)
+                subprocess.run([str(ref), "-e", "-o", dp, bp, tp], check=True)
+                ref_total += os.path.getsize(dp)
+        return ours / ref_total if ref_total else None
+    except Exception:
+        return None
+
+
 def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     deadline = time.time() + int(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "900"))
@@ -137,6 +181,7 @@ def main() -> None:
             "token_gb": round(run_big["token_bytes"] / 1e9, 3),
             "compression_ratio": round(run_big["raw_bytes"] / run_big["enc_bytes"], 2),
             "gbps_localN": round(run_big["gbps"], 4),
+            "size_vs_cpp_reference": _ref_size_ratio(corpus),
         },
         "scaling": {
             "cores_small": n_small,
