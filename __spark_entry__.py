@@ -252,7 +252,12 @@ def _q_fixture_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("source", F.split("part_id", "/").getItem(0))
         .groupBy("source")
         .agg(
-            F.array_distinct(F.collect_list("codec")).alias("codecs"),
+            # plain string, not array<string>: the driver's canonicalizer
+            # sorts on every column and cannot factorize an unhashable
+            # list column (round-1 checker crash)
+            F.concat_ws(
+                ",", F.array_sort(F.array_distinct(F.collect_list("codec")))
+            ).alias("codecs"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
         )
@@ -292,10 +297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _ROUNDTRIP_ORACLE = "SELECT doc_id, 1 AS ok FROM documents"
 
+# NOTE: every SUM is wrapped in CAST(... AS BIGINT) — DuckDB's SUM over
+# integers returns HUGEINT, which pandas materializes as float64; the
+# driver's value hash compares raw bit patterns, so 123.0 != 123 even
+# though the values are equal (round-1 root cause of 7 hash_match fails).
 _STATS_ORACLE = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS sum_tok,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
        MIN(len(string_split(text, ' '))) AS min_tok,
        MAX(len(string_split(text, ' '))) AS max_tok
 FROM documents GROUP BY source ORDER BY source
@@ -305,12 +314,12 @@ _BUCKET_ORACLE = """
 SELECT source,
        CAST(FLOOR(LOG2(len(string_split(text, ' ')) + 1)) AS INT) AS bucket,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS sum_tok
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok
 FROM documents GROUP BY source, bucket ORDER BY source, bucket
 """
 
 _SALT_ORACLE = f"""
-SELECT source, bucket, bucket_tokens,
+SELECT source, bucket, CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
        GREATEST(1, CAST(CEIL(bucket_tokens * 4.0 / {SALT_BUDGET_BYTES}) AS INT)) AS n_salts
 FROM (
   SELECT source,
@@ -370,25 +379,27 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT b2 AS sig, COUNT(*) AS n_docs FROM sigs GROUP BY b2
             )
-            SELECT sig, SUM(n_docs) AS n_docs FROM bands
+            SELECT sig, CAST(SUM(n_docs) AS BIGINT) AS n_docs FROM bands
             GROUP BY sig HAVING SUM(n_docs) > 1
             ORDER BY n_docs DESC, sig
         """,
         "doc_quality": (
-            "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars, "
-            "SUM(len(string_split(text, ' '))) AS sum_words, "
-            "SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short "
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words, "
+            "CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short "
             "FROM documents GROUP BY source ORDER BY source"
         ),
         "lang_dist": (
-            "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars "
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "resume_pending": _RESUME_ORACLE,
         "event_runs": (
             "SELECT user_id, COUNT(*) AS n_events, "
-            "SUM(CASE WHEN event_type <> prev_type OR prev_type IS NULL "
-            "THEN 1 ELSE 0 END) AS n_runs FROM ("
+            "CAST(SUM(CASE WHEN event_type <> prev_type OR prev_type IS NULL "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_runs FROM ("
             "  SELECT user_id, event_type, "
             "  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
             "  FROM events"
