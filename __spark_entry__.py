@@ -266,6 +266,107 @@ def _q_fixture_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.crossJoin(ok).orderBy("source")
 
 
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import ann
+
+    return ann.ann_topk(spark, sf_dir)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import ann
+
+    return ann.ann_lsh_best_pairs(spark, sf_dir)
+
+
+def _q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import dedup
+
+    return dedup.neardup_pairs(spark, sf_dir)
+
+
+def _q_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import dedup
+
+    return dedup.neardup_keep(spark, sf_dir)
+
+
+def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import dedup
+
+    return dedup.dedup_keep(spark, sf_dir)
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import dedup
+
+    return dedup.doc_fingerprints(spark, sf_dir)
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import textstats
+
+    return textstats.token_counts(spark, sf_dir)
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import textstats
+
+    return textstats.lang_confusion(spark, sf_dir)
+
+
+def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: two micro-batch waves through the Structured-Streaming
+    ingest (streaming.py) into a temp warehouse; per-wave commit summary
+    plus a decoded-bit-identical flag. Deterministic fixture input, so the
+    result is stable across runs."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from gdelta_spark import fixtures
+    from gdelta_spark.pipeline import decode as decode_mod
+    from gdelta_spark.pipeline import generator, streaming
+    from gdelta_spark.pipeline import warehouse as wh_mod
+
+    tmp = tempfile.mkdtemp(prefix="gdelta_stream_q_")
+    try:
+        inbox, root, ckpt = (f"{tmp}/{x}" for x in ("inbox", "wh", "ckpt"))
+        waves = []
+        generator.tokens_table(
+            spark, rows_per_regime=8, seed=7, num_partitions=1
+        ).write.mode("append").parquet(inbox)
+        q = streaming.incremental_encode(spark, inbox, root, ckpt, group_bytes=1 << 20)
+        q.awaitTermination(300)
+        waves.append(q._gdelta_summaries)
+
+        recs = []
+        for regime in fixtures.REGIMES:
+            for doc_id, tokens, n_tok, source in fixtures.rows(7, regime, 8, start=5000):
+                recs.append((doc_id, tokens.tolist(), int(n_tok), source))
+        spark.createDataFrame(
+            pd.DataFrame(recs, columns=["doc_id", "tokens", "n_tok", "source"]),
+            schema=generator.TOKENS_SCHEMA,
+        ).write.mode("append").parquet(inbox)
+        q = streaming.incremental_encode(spark, inbox, root, ckpt, group_bytes=1 << 20)
+        q.awaitTermination(300)
+        waves.append(q._gdelta_summaries)
+
+        blocks_df = wh_mod.Warehouse(root).read_blocks(spark)
+        report = decode_mod.verify_roundtrip(spark.read.parquet(inbox), blocks_df)
+        all_ok = int(report.agg(F.min(F.col("ok").cast("int"))).collect()[0][0])
+        rows = [
+            (w, int(s["partitions"]), int(s["encoded"]), int(s.get("rows", 0)), all_ok)
+            for w, summaries in enumerate(waves)
+            for s in summaries
+        ]
+        return spark.createDataFrame(
+            rows, "wave int, partitions long, encoded long, rows long, all_ok int"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: auto-codec encode + verified decode on sf0.001."""
     return _q_compression_summary(spark, "/root/testdata/sf0.001")
@@ -292,6 +393,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_runs": _q_event_runs,
         "compression_summary": _q_compression_summary,
         "fixture_regimes": _q_fixture_regimes,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_best_pairs": _q_ann_lsh,
+        "neardup_pairs": _q_neardup_pairs,
+        "neardup_keep": _q_neardup_keep,
+        "dedup_keep": _q_dedup_keep,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "token_counts": _q_token_counts,
+        "lang_confusion": _q_lang_confusion,
+        "streaming_ingest": _q_streaming_ingest,
     }
 
 
@@ -405,6 +515,33 @@ def oracle_sql() -> dict[str, str]:
             "  FROM events"
             ") GROUP BY user_id ORDER BY user_id"
         ),
-        # compression_summary / fixture_regimes: real encoder metrics — not
-        # SQL-expressible; the driver records rows-only checks for them.
+        "ann_topk": _ops_ann().ANN_TOPK_ORACLE,
+        "ann_lsh_best_pairs": _ops_ann().ANN_LSH_ORACLE,
+        "neardup_pairs": _ops_dedup().NEARDUP_PAIRS_ORACLE,
+        "neardup_keep": _ops_dedup().NEARDUP_KEEP_ORACLE,
+        "dedup_keep": _ops_dedup().DEDUP_KEEP_ORACLE,
+        "doc_fingerprints": _ops_dedup().DOC_FINGERPRINTS_ORACLE,
+        "token_counts": _ops_text().TOKEN_COUNTS_ORACLE,
+        "lang_confusion": _ops_text().LANG_CONFUSION_ORACLE,
+        # compression_summary / fixture_regimes / streaming_ingest: real
+        # encoder + streaming runs — not SQL-expressible; the driver records
+        # rows-only checks for them.
     }
+
+
+def _ops_ann():
+    from gdelta_spark.ops import ann
+
+    return ann
+
+
+def _ops_dedup():
+    from gdelta_spark.ops import dedup
+
+    return dedup
+
+
+def _ops_text():
+    from gdelta_spark.ops import textstats
+
+    return textstats

@@ -69,7 +69,7 @@ def test_all_queries_have_coverage():
     assert set(ORACLES) <= set(QUERIES)
     # every claimed operator has a query; non-SQL ops are known + bounded
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"compression_summary", "fixture_regimes"}
+    assert rows_only == {"compression_summary", "fixture_regimes", "streaming_ingest"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -79,7 +79,7 @@ def test_query_matches_oracle(name, spark, duck):
     _compare(name, spark_pdf, duck_pdf)
 
 
-@pytest.mark.parametrize("name", ["compression_summary", "fixture_regimes"])
+@pytest.mark.parametrize("name", ["compression_summary", "fixture_regimes", "streaming_ingest"])
 def test_rows_only_queries_run(name, spark):
     pdf = QUERIES[name](spark, SF_DIR).toPandas()
     assert len(pdf) > 0
