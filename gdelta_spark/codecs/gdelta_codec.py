@@ -99,17 +99,131 @@ def read_unit(buf, pos: int) -> tuple[int, int, int, int]:
     return flag, length, offset, pos
 
 
+def _varint_values(s64: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Vectorized varint decode for many spans at once: value of the varint
+    spanning bytes [starts[i], ends[i]] (inclusive) of ``s64`` for every i.
+    One array pass per byte of the longest varint (<= 10)."""
+    vals = np.zeros(starts.size, np.uint64)
+    if starts.size == 0:
+        return vals
+    span = ends - starts
+    for k in range(int(span.max()) + 1):
+        m = span >= k
+        vals[m] |= (s64[starts[m] + k] >> np.uint64(1)) << np.uint64(7 * k)
+    return vals
+
+
+# below ~1 KiB of instruction stream the plain per-unit loop beats numpy's
+# fixed per-array-op overhead (measured crossover ~300 units)
+_VEC_MIN_INST = 1024
+
+
+def _parse_units_scalar(
+    delta: bytes, pos: int, inst_end: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    flags: list[int] = []
+    lengths: list[int] = []
+    offsets: list[int] = []
+    while pos < inst_end:
+        f, ln, off, pos = read_unit(delta, pos)
+        flags.append(f)
+        lengths.append(ln)
+        offsets.append(off)
+    return (
+        np.asarray(flags, np.int64),
+        np.asarray(lengths, np.int64),
+        np.asarray(offsets, np.int64),
+        inst_end,
+    )
+
+
+def parse_units_arrays(
+    delta: bytes,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Batch unit parse: delta blob -> (flags, lengths, offsets) numpy arrays
+    plus the literal data stream offset (SURVEY §2.1 row 2's vectorized
+    design). Mirrors the reference *reader* (gdelta.cpp:124-139): the
+    length-continuation varint is consumed only when ``more`` is set, so the
+    writer's always-emitted stray 0x00 re-parses as a zero-length phantom
+    unit, exactly as in C++.
+
+    The vectorized path has NO per-unit Python loop. Cut the stream into
+    segments ending at each varint-terminator byte (more-bit 0). A unit is
+    then 1 or 2 consecutive segments: a head whose ``more`` bit is set is
+    followed by exactly one continuation segment (its next varint), so a
+    segment is a continuation iff the run of set more-bits at segment starts
+    immediately before it has odd length — an accumulate/arange computation.
+    Head fields and all varint values are then extracted with masked array
+    ops (one pass per varint byte, <= 10).
+    """
+    inst_len, pos = read_varint(delta, 0)
+    inst_end = pos + inst_len
+    if inst_len == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e, inst_end
+    if inst_len < _VEC_MIN_INST:
+        return _parse_units_scalar(delta, pos, inst_end)
+    s = np.frombuffer(delta, np.uint8, count=inst_len, offset=pos)
+    if s[-1] & 1:  # stream must end at a terminator; fall back if malformed
+        return _parse_units_scalar(delta, pos, inst_end)
+
+    term = np.flatnonzero((s & 1) == 0).astype(np.int64)
+    n_seg = term.size
+    seg_start = np.empty(n_seg, np.int64)
+    seg_start[0] = 0
+    seg_start[1:] = term[:-1] + 1
+    b0 = s[seg_start].astype(np.int64)
+    a = (b0 >> 1) & 1  # head more-bit (garbage at continuation segs — see below)
+    # cont(i) = a(i-1) & ~cont(i-1): within each maximal run of a==1 the
+    # value alternates starting true, so cont(i) == odd(run length of a==1
+    # ending at i-1) — computed with a running "last a==0 index"
+    idx = np.arange(n_seg, dtype=np.int64)
+    last0 = np.maximum.accumulate(np.where(a == 0, idx, -1))
+    cont = np.zeros(n_seg, bool)
+    cont[1:] = ((idx[:-1] - last0[:-1]) & 1) == 1
+    head_seg = np.flatnonzero(~cont)
+
+    hb = b0[head_seg]
+    flags = hb & 1
+    more = (hb >> 1) & 1
+    lengths = (hb >> 2).astype(np.uint64)  # 6-bit field; writer stores bit0
+    s64 = s.astype(np.uint64)
+
+    # INSERT, more=1: head (bit0=0) is its own segment; length varint is the
+    # entire next segment
+    im = (flags == 0) & (more == 1)
+    if im.any():
+        hs = head_seg[im]
+        hi = _varint_values(s64, seg_start[hs + 1], term[hs + 1])
+        lengths[im] |= hi << np.uint64(1)
+    # COPY, more=1: head (bit0=1) merges with its length varint into one
+    # segment; the offset varint is the next segment
+    cm = (flags == 1) & (more == 1)
+    offsets = np.zeros(head_seg.size, np.uint64)
+    if cm.any():
+        hs = head_seg[cm]
+        hi = _varint_values(s64, seg_start[hs] + 1, term[hs])
+        lengths[cm] |= hi << np.uint64(1)
+        offsets[cm] = _varint_values(s64, seg_start[hs + 1], term[hs + 1])
+    # COPY, more=0: head merges with the offset varint
+    c0 = (flags == 1) & (more == 0)
+    if c0.any():
+        hs = head_seg[c0]
+        offsets[c0] = _varint_values(s64, seg_start[hs] + 1, term[hs])
+    return (
+        flags.astype(np.int64),
+        lengths.astype(np.int64),
+        offsets.astype(np.int64),
+        inst_end,
+    )
+
+
 def parse_units(delta: bytes) -> tuple[list[tuple[int, int, int]], int]:
     """Parse a delta blob into [(flag, length, offset)...] and the literal
     data stream offset. Zero-length phantom units are kept (they are no-ops).
     """
-    inst_len, pos = read_varint(delta, 0)
-    inst_end = pos + inst_len
-    units = []
-    while pos < inst_end:
-        flag, length, offset, pos = read_unit(delta, pos)
-        units.append((flag, length, offset))
-    return units, inst_end
+    flags, lengths, offsets, inst_end = parse_units_arrays(delta)
+    return list(zip(flags.tolist(), lengths.tolist(), offsets.tolist())), inst_end
 
 
 # ---------------------------------------------------------------------------
@@ -117,13 +231,11 @@ def parse_units(delta: bytes) -> tuple[list[tuple[int, int, int]], int]:
 # ---------------------------------------------------------------------------
 
 
-def gdelta_decode(delta: bytes, base: bytes) -> bytes:
-    """Interpret a delta blob against ``base``; returns the reconstructed
-    target bytes (mirrors gdelta.cpp:533-567 semantics).
-    """
-    units, data_pos = parse_units(delta)
+def _gdelta_decode_scalar(delta: bytes, pos: int, inst_end: int, base: bytes) -> bytes:
     parts = []
-    for flag, length, offset in units:
+    data_pos = inst_end
+    while pos < inst_end:
+        flag, length, offset, pos = read_unit(delta, pos)
         if length == 0:
             continue
         if flag:
@@ -131,6 +243,39 @@ def gdelta_decode(delta: bytes, base: bytes) -> bytes:
         else:
             parts.append(delta[data_pos : data_pos + length])
             data_pos += length
+    return b"".join(parts)
+
+
+def gdelta_decode(delta: bytes, base: bytes) -> bytes:
+    """Interpret a delta blob against ``base``; returns the reconstructed
+    target bytes (mirrors gdelta.cpp:533-567 semantics). Unit parsing is
+    batched to numpy above the scalar/vector crossover; assembly is
+    slice-level memcpy (never per byte)."""
+    inst_len, pos = read_varint(delta, 0)
+    if inst_len < _VEC_MIN_INST:
+        return _gdelta_decode_scalar(delta, pos, pos + inst_len, base)
+    flags, lengths, offsets, data_pos = parse_units_arrays(delta)
+    keep = lengths > 0
+    if not keep.all():
+        flags, lengths, offsets = flags[keep], lengths[keep], offsets[keep]
+    # literal units consume the data stream in order: prefix-sum their spans
+    ins = flags == 0
+    ins_start = np.full(lengths.size, 0, np.int64)
+    if ins.any():
+        ins_lens = lengths[ins]
+        starts = np.empty(ins_lens.size, np.int64)
+        starts[0] = data_pos
+        np.cumsum(ins_lens[:-1], out=starts[1:])
+        starts[1:] += data_pos
+        ins_start[ins] = starts
+    parts = []
+    for flag, length, offset, ds in zip(
+        flags.tolist(), lengths.tolist(), offsets.tolist(), ins_start.tolist()
+    ):
+        if flag:
+            parts.append(base[offset : offset + length])
+        else:
+            parts.append(delta[ds : ds + length])
     return b"".join(parts)
 
 

@@ -32,9 +32,10 @@ def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
     out_ids: list[str] = []
     out_bytes: list[bytes] = []
-    for _, row in pdf[pdf["block_id"] >= 0].iterrows():
-        arrays = blocks.decode_block_rows(bytes(row["blob"]), base=base)
-        ids = list(row["doc_ids"])
+    data = pdf[pdf["block_id"] >= 0]
+    for blob, ids in zip(data["blob"], data["doc_ids"]):
+        arrays = blocks.decode_block_rows(bytes(blob), base=base)
+        ids = list(ids)
         if len(ids) != len(arrays):
             raise ValueError("doc_ids/rows mismatch in block")
         out_ids.extend(ids)
@@ -88,12 +89,22 @@ def verify_partition_local(salted_bin_df: DataFrame, blocks_df: DataFrame) -> Da
                 {"part_id": [part], "n_rows": [len(src_pdf)], "n_ok": [0]}
             )
         decoded = _decode_group(blk_pdf)
-        dec = dict(zip(decoded["doc_id"], decoded["tok_bytes"]))
-        ok = sum(
-            1
-            for d, b in zip(src_pdf["doc_id"], src_pdf["tok_bytes"])
-            if dec.get(d) == bytes(b)
-        )
+        # positional compare after sorting both sides by doc_id: duplicate
+        # doc_ids verify each occurrence against its own decoded payload
+        # instead of dict-collapsing to the last one (round-1 advice)
+        src_ids = src_pdf["doc_id"].tolist()
+        src_b = [bytes(b) for b in src_pdf["tok_bytes"]]
+        dec_ids = decoded["doc_id"].tolist()
+        dec_b = decoded["tok_bytes"].tolist()
+        s_order = sorted(range(len(src_ids)), key=lambda i: src_ids[i])
+        d_order = sorted(range(len(dec_ids)), key=lambda i: dec_ids[i])
+        ok = 0
+        if len(s_order) == len(d_order):
+            ok = sum(
+                1
+                for i, j in zip(s_order, d_order)
+                if src_ids[i] == dec_ids[j] and src_b[i] == dec_b[j]
+            )
         return pd.DataFrame(
             {"part_id": [part], "n_rows": [len(src_pdf)], "n_ok": [ok]}
         )

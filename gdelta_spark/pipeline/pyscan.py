@@ -24,7 +24,11 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
-from gdelta_spark.pipeline.serde import TOK_BYTES_COL, _list_chunk_to_binary
+from gdelta_spark.pipeline.serde import (
+    TOK_BYTES_COL,
+    _list_chunk_to_binary,
+    capped_token_batches,
+)
 
 SCAN_SCHEMA = f"doc_id string, n_tok int, source string, {TOK_BYTES_COL} binary"
 
@@ -62,16 +66,16 @@ def scan_tokens_binary(spark: SparkSession, path: str) -> DataFrame:
                 pf = pq.ParquetFile(f)
                 tbl = pf.read_row_group(rg, columns=["doc_id", "tokens", "n_tok", "source"])
                 for batch in tbl.to_batches():
-                    toks = batch.column("tokens")
-                    n = batch.num_rows
-                    n_tok = batch.column("n_tok").cast(pa.int32())
-                    yield pa.RecordBatch.from_pydict(
-                        {
-                            "doc_id": batch.column("doc_id"),
-                            "n_tok": n_tok,
-                            "source": batch.column("source"),
-                            TOK_BYTES_COL: _list_chunk_to_binary(toks),
-                        }
-                    )
+                    for sub in capped_token_batches(batch):
+                        yield pa.RecordBatch.from_pydict(
+                            {
+                                "doc_id": sub.column("doc_id"),
+                                "n_tok": sub.column("n_tok").cast(pa.int32()),
+                                "source": sub.column("source"),
+                                TOK_BYTES_COL: _list_chunk_to_binary(
+                                    sub.column("tokens")
+                                ),
+                            }
+                        )
 
     return sdf.mapInArrow(read, SCAN_SCHEMA)

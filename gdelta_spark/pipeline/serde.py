@@ -21,9 +21,21 @@ from pyspark.sql import DataFrame
 
 TOK_BYTES_COL = "tok_bytes"
 
+_INT32_MAX = np.iinfo(np.int32).max
+# split batches so BinaryArray offsets stay far from the int32 edge; a
+# row-group-sized batch of long docs can otherwise exceed 2^31 payload
+# bytes and wrap the offsets (silent for >4 GiB, ArrowInvalid below)
+CAP_BATCH_BYTES = 1 << 30
+
 
 def _list_chunk_to_binary(arr: pa.Array) -> pa.Array:
-    """ListArray<int32> -> BinaryArray, reusing the values buffer."""
+    """ListArray<int32> -> BinaryArray, reusing the values buffer.
+
+    Offsets are rebased to this chunk's first byte (the data buffer is
+    sliced), so a sliced batch or an offset values buffer never inflates
+    the int32 offset range; the explicit guard below means overflow is an
+    error, not corruption. Callers feed chunks of <= CAP_BATCH_BYTES via
+    capped_token_batches."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if arr.null_count != 0:
@@ -36,14 +48,53 @@ def _list_chunk_to_binary(arr: pa.Array) -> pa.Array:
         )
     offs = arr.offsets.to_numpy().astype(np.int64)  # honors arr.offset
     values = arr.values
-    # values may carry its own offset; fold it into the byte offsets
-    byte_offs = ((offs + values.offset) * 4).astype(np.int32)
-    data_buf = values.buffers()[1]
+    rel = (offs - offs[0]) * 4
+    if rel.size and rel[-1] > _INT32_MAX:
+        raise ValueError(
+            f"binary reinterpretation overflow: {int(rel[-1])} payload bytes "
+            "in one chunk exceeds int32 offsets; split with capped_token_batches"
+        )
+    first_byte = int(offs[0] + values.offset) * 4
+    data_buf = values.buffers()[1].slice(first_byte)
+    byte_offs = rel.astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(),
         len(arr),
         [None, pa.py_buffer(byte_offs.tobytes()), data_buf],
     )
+
+
+def capped_token_batches(
+    rb: pa.RecordBatch, col: str = "tokens", cap: int = CAP_BATCH_BYTES
+):
+    """Yield slices of ``rb`` whose serialized token payload each stays
+    under ``cap`` bytes, so the binary reinterpretation can never reach the
+    int32 offset ceiling. A single row may exceed ``cap`` (it gets its own
+    slice); a single row over 2 GiB serialized is unrepresentable as
+    ``binary`` and raises."""
+    arr = rb.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count != 0 or len(arr) == 0:
+        yield rb
+        return
+    offs = arr.offsets.to_numpy().astype(np.int64)
+    rel = (offs - offs[0]) * 4
+    if rel[-1] <= cap:
+        yield rb
+        return
+    sizes = np.diff(rel)
+    if int(sizes.max()) > _INT32_MAX:
+        raise ValueError(
+            "a single tokens row exceeds 2 GiB serialized; "
+            "unrepresentable as an Arrow binary cell"
+        )
+    s, n = 0, len(sizes)
+    while s < n:
+        j = int(np.searchsorted(rel, rel[s] + cap, side="right")) - 1
+        j = max(j, s + 1)
+        yield rb.slice(s, j - s)
+        s = j
 
 
 def _binary_chunk_to_list(arr: pa.Array) -> pa.Array:
@@ -75,9 +126,10 @@ def serialize_tokens(df: DataFrame, keep: tuple[str, ...] = ("part_id", "doc_id"
 
     def ser(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
-            cols = {c: rb.column(c) for c in keep}
-            cols[TOK_BYTES_COL] = _list_chunk_to_binary(rb.column("tokens"))
-            yield pa.RecordBatch.from_pydict(cols)
+            for sub in capped_token_batches(rb):
+                cols = {c: sub.column(c) for c in keep}
+                cols[TOK_BYTES_COL] = _list_chunk_to_binary(sub.column("tokens"))
+                yield pa.RecordBatch.from_pydict(cols)
 
     return df.select(*keep, "tokens").mapInArrow(ser, out_schema)
 

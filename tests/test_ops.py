@@ -71,3 +71,28 @@ def test_decode_job_cli(spark, tmp_path):
     dec = spark.read.parquet(out).withColumnRenamed("tokens", "t2")
     bad = src.join(dec, "doc_id", "full").filter(~F.expr("tokens <=> t2")).count()
     assert bad == 0
+
+
+def test_verify_job_cli_local_mode(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "tokens")
+    root = str(tmp_path / "wh")
+    generator.write_tokens_table(spark, inp, rows_per_regime=8, num_partitions=2)
+    r = subprocess.run(
+        [sys.executable, "jobs/encode_job.py", "--input", inp, "--warehouse", root,
+         "--group-mb", "4", "--master", "local[4]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    # partition-local verify (default): cogroup on part_id, no doc_id shuffle
+    r = subprocess.run(
+        [sys.executable, "jobs/verify_job.py", "--input", inp, "--warehouse", root,
+         "--group-mb", "4", "--master", "local[4]"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert out == {"rows": 48, "mismatches": 0, "ok": True, "mode": "local"}

@@ -68,3 +68,45 @@ def test_serialize_deserialize_roundtrip(spark):
     )
     bad = joined.filter(~F.expr("tokens <=> t2")).count()
     assert bad == 0
+
+
+def test_capped_batches_split_and_rebase():
+    """Batches over the cap split into int32-safe chunks; sliced chunks and
+    offset values buffers rebase correctly (the round-1 overflow advice)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rows = [np.arange(i * 7, i * 7 + 50 + i, dtype=np.int32) for i in range(200)]
+    rb = pa.RecordBatch.from_pydict(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(200)]),
+            "tokens": pa.array([r.tolist() for r in rows], pa.list_(pa.int32())),
+        }
+    )
+    subs = list(serde.capped_token_batches(rb, cap=4096))
+    assert len(subs) > 1
+    assert sum(s.num_rows for s in subs) == 200
+    out = []
+    for s in subs:
+        bins = serde._list_chunk_to_binary(s.column("tokens"))
+        out.extend(bins.to_pylist())
+    assert out == [r.tobytes() for r in rows]
+
+    # a sliced array (nonzero offset) converts identically
+    sliced = rb.slice(37, 100)
+    bins = serde._list_chunk_to_binary(sliced.column("tokens"))
+    assert bins.to_pylist() == [r.tobytes() for r in rows[37:137]]
+
+    # one giant row gets its own slice instead of breaking neighbors
+    rows2 = [np.zeros(4, np.int32), np.arange(5000, dtype=np.int32), np.ones(4, np.int32)]
+    rb2 = pa.RecordBatch.from_pydict(
+        {"tokens": pa.array([r.tolist() for r in rows2], pa.list_(pa.int32()))}
+    )
+    subs2 = list(serde.capped_token_batches(rb2, cap=1024))
+    assert [s.num_rows for s in subs2] == [1, 1, 1]
+    got = [
+        b
+        for s in subs2
+        for b in serde._list_chunk_to_binary(s.column("tokens")).to_pylist()
+    ]
+    assert got == [r.tobytes() for r in rows2]
