@@ -40,7 +40,19 @@ def encode_block_rows(
     lens = np.array([a.size for a in arrays], dtype=np.int64)
 
     if codec_id is None:
-        codec_id, _ = chooser.choose_codec(values, arrays[:3], base)
+        # the similarity probe must not include the base row itself: a
+        # self-delta of ~0 bytes would wildly overestimate gdelta's win
+        # (mirrors encode.py's group-level chooser)
+        if (
+            base is not None
+            and len(arrays) > 1
+            and arrays[0].size * 4 == len(base)
+            and arrays[0].tobytes() == base
+        ):
+            probe = arrays[1:4]
+        else:
+            probe = arrays[:3]
+        codec_id, _ = chooser.choose_codec(values, probe, base)
 
     if codec_id == core.GDELTA:
         from gdelta_spark.codecs import delta

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-REGIMES = ("near-dup", "runs", "lowcard", "narrow", "texty", "random")
+REGIMES = ("near-dup", "runs", "lowcard", "narrow", "texty", "random", "mixed-dup")
 
 _EXPECTED_WINNER = {
     "near-dup": "gdelta",
@@ -20,6 +20,7 @@ _EXPECTED_WINNER = {
     "narrow": "for",
     "texty": "fsst",
     "random": "raw",
+    "mixed-dup": "gdelta",  # requires per-cluster base election
 }
 
 
@@ -43,25 +44,41 @@ def base_sequence(seed: int, regime: str) -> np.ndarray:
     return rng.integers(0, 50_000, 8192, dtype=np.int32)
 
 
+def _mutate(tokens: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """A few random substitute/insert/delete edits — the near-dup generator."""
+    k = int(rng.integers(1, 12))
+    for _ in range(k):
+        op = int(rng.integers(0, 3))
+        pos = int(rng.integers(0, max(1, tokens.size)))
+        if op == 0 and tokens.size:
+            span = int(rng.integers(1, 8))
+            tokens[pos : pos + span] = rng.integers(0, 50_000, size=tokens[pos : pos + span].size, dtype=np.int32)
+        elif op == 1:
+            ins = rng.integers(0, 50_000, int(rng.integers(1, 16)), dtype=np.int32)
+            tokens = np.concatenate((tokens[:pos], ins, tokens[pos:]))
+        else:
+            tokens = np.concatenate((tokens[:pos], tokens[pos + int(rng.integers(1, 16)) :]))
+    return tokens.astype(np.int32)
+
+
+MIXED_DUP_TEMPLATES = 8
+
+
 def make_tokens(seed: int, regime: str, i: int) -> np.ndarray:
     """Row i of a regime — deterministic, order-independent."""
     rng = _row_rng(seed, regime, i)
     if regime == "near-dup":
-        base = base_sequence(seed, regime)
-        tokens = base.copy()
-        k = int(rng.integers(1, 12))
-        for _ in range(k):
-            op = int(rng.integers(0, 3))
-            pos = int(rng.integers(0, max(1, tokens.size)))
-            if op == 0 and tokens.size:
-                span = int(rng.integers(1, 8))
-                tokens[pos : pos + span] = rng.integers(0, 50_000, size=tokens[pos : pos + span].size, dtype=np.int32)
-            elif op == 1:
-                ins = rng.integers(0, 50_000, int(rng.integers(1, 16)), dtype=np.int32)
-                tokens = np.concatenate((tokens[:pos], ins, tokens[pos:]))
-            else:
-                tokens = np.concatenate((tokens[:pos], tokens[pos + int(rng.integers(1, 16)) :]))
-        return tokens.astype(np.int32)
+        return _mutate(base_sequence(seed, regime).copy(), rng)
+    if regime == "mixed-dup":
+        # rows from 8 distinct templates interleave in one source: a single
+        # elected base can delta only 1/8 of rows, so this regime compresses
+        # only with per-cluster base election (SURVEY §8 / round-1 verdict)
+        t = i % MIXED_DUP_TEMPLATES
+        trng = np.random.default_rng(
+            np.random.SeedSequence([seed, REGIMES.index(regime), (1 << 28) + t])
+        )
+        template = trng.integers(0, 50_000, 6144, dtype=np.int32)
+        return _mutate(template, rng)
     n = _n_tok(rng)
     if regime == "runs":
         vals = []

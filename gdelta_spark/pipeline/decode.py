@@ -1,7 +1,8 @@
 """Decode + verify jobs: encoded blocks -> tokens; equality check vs source.
 
-Decode is one ``applyInPandas`` per part_id group: the 'base' bootstrap block
-(block_id -1) is decoded first, then every data block against it. Verify
+Decode is one ``applyInPandas`` per part_id group: the 'base' bootstrap
+blocks (block_id < 0, one per gdelta-coded cluster) are decoded first, then
+every data block against its named base. Verify
 joins decoded rows to the original table and asserts token-array equality —
 the reference's own round-trip test lifted to table scale
 (/root/reference/test.sh:8-24)."""
@@ -22,19 +23,17 @@ DECODED_SCHEMA = "doc_id string, tok_bytes binary"
 def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("block_id", ignore_index=True)
     base_rows = pdf[pdf["block_id"] < 0]
-    if len(base_rows) != 1:
-        raise ValueError(
-            f"partition {pdf['part_id'].iloc[0]!r}: expected 1 base block, "
-            f"got {len(base_rows)}"
-        )
-    base_arr = blocks.decode_block_rows(bytes(base_rows["blob"].iloc[0]))[0]
-    base = tokens_to_bytes(base_arr)
+    # one bootstrap block per gdelta-coded cluster (encode.py); data blocks
+    # name their base via base_doc_id, non-delta blocks never read one
+    bases: dict[str, bytes] = {}
+    for bd, blob in zip(base_rows["base_doc_id"], base_rows["blob"]):
+        bases[bd] = tokens_to_bytes(blocks.decode_block_rows(bytes(blob))[0])
 
     out_ids: list[str] = []
     out_bytes: list[bytes] = []
     data = pdf[pdf["block_id"] >= 0]
-    for blob, ids in zip(data["blob"], data["doc_ids"]):
-        arrays = blocks.decode_block_rows(bytes(blob), base=base)
+    for blob, ids, bd in zip(data["blob"], data["doc_ids"], data["base_doc_id"]):
+        arrays = blocks.decode_block_rows(bytes(blob), base=bases.get(bd))
         ids = list(ids)
         if len(ids) != len(arrays):
             raise ValueError("doc_ids/rows mismatch in block")

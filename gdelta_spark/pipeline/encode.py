@@ -5,11 +5,16 @@ arrive as an Arrow batch, all work is numpy (SURVEY §3.2). Per group:
 
 1. sort rows by doc_id (determinism: base election and block boundaries are
    order-independent),
-2. elect the base chunk = tokens of the min-doc_id row (serialized int32 LE),
-3. slice rows into blocks of ~BLOCK_TOKENS tokens,
-4. per block: cost-based codec choice + encode (raw-fallback guarded),
-5. emit one row per block plus one 'base' bootstrap block (block_id -1,
-   raw-encoded elected row) so decode needs no side channel.
+2. cluster rows by content MinHash (token-aligned 8-byte windows) so each
+   delta base is elected per *cluster of similar rows*, not per group — on
+   heterogeneous partitions a single base only deltas its own look-alikes
+   (round-1 verdict #7); clusters below MIN_CLUSTER_ROWS merge into a rest
+   cluster,
+3. per cluster: cost-based codec choice, then slice into ~BLOCK_TOKENS
+   blocks and encode (raw-fallback guarded),
+4. emit one row per block plus one 'base' bootstrap block (block_id < 0,
+   raw-encoded elected row) per gdelta-coded cluster so decode needs no
+   side channel; data blocks name their base via base_doc_id.
 """
 
 from __future__ import annotations
@@ -35,6 +40,47 @@ BLOCKS_SCHEMA = (
 )
 
 
+_SIG_MULT_1 = np.uint64(0x9E3779B97F4A7C15)
+_SIG_MULT_2 = np.uint64(0xC2B2AE3D27D4EB4F)
+MIN_CLUSTER_ROWS = 3
+
+
+def _row_signature(rb: bytes) -> tuple[int, int]:
+    """Two MinHashes over token-aligned 8-byte windows (4-byte stride) of
+    the serialized row. Whole-token insertions/deletions shift content by
+    multiples of 4 bytes, so window alignment survives edits; near-duplicate
+    rows therefore share both minima with high probability. O(n_tok),
+    vectorized; a false merge only costs ratio (correctness never depends on
+    base choice — SURVEY §0)."""
+    a = np.frombuffer(rb, dtype="<u4")
+    if a.size < 2:
+        v = int(a[0]) if a.size else 0
+        return (v, v)
+    w = a[:-1].astype(np.uint64) | (a[1:].astype(np.uint64) << np.uint64(32))
+    return (int((w * _SIG_MULT_1).min()), int((w * _SIG_MULT_2).min()))
+
+
+def _cluster_rows(rows_bytes: list[bytes]) -> list[list[int]]:
+    """Row indices grouped by shared signature, in first-occurrence order of
+    the doc_id-sorted input (deterministic). Clusters smaller than
+    MIN_CLUSTER_ROWS merge into one trailing rest cluster — heterogeneous,
+    so the chooser rarely picks gdelta there."""
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, rb in enumerate(rows_bytes):
+        groups.setdefault(_row_signature(rb), []).append(i)
+    clusters: list[list[int]] = []
+    rest: list[int] = []
+    for idx in groups.values():
+        if len(idx) >= MIN_CLUSTER_ROWS:
+            clusters.append(idx)
+        else:
+            rest.extend(idx)
+    clusters.sort(key=lambda ix: ix[0])
+    if rest:
+        clusters.append(sorted(rest))
+    return clusters
+
+
 def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataFrame:
     pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
     part_id = pdf["part_id"].iloc[0]
@@ -44,50 +90,63 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
     arrays = [np.frombuffer(c, dtype="<i4") for c in rows_bytes]
     doc_ids = pdf["doc_id"].tolist()
 
-    base_doc_id = doc_ids[0]
-    base = rows_bytes[0]
-
     out = []
-    # bootstrap block: the base row itself, raw (decode reads it first)
-    base_blob, _ = blocks.encode_block_rows([arrays[0]], codec_id=core.RAW)
-    out.append(
-        (part_id, -1, "base", base_doc_id, [base_doc_id], 1,
-         int(arrays[0].size), int(arrays[0].nbytes), len(base_blob), base_blob)
-    )
-
-    # codec choice once per group (groups are partition-homogeneous by
-    # construction); the per-block raw-fallback guard still protects
-    # against local expansion
-    group_codec = force_codec
-    if group_codec is None:
-        from gdelta_spark import chooser
-
-        sample = np.concatenate(arrays[:64])[: chooser.SAMPLE_TOKENS * 4]
-        # probe rows exclude arrays[0]: it IS the base (self-delta ~ 0 bytes
-        # would wildly overestimate gdelta's win)
-        probe_rows = arrays[1:4] if len(arrays) > 1 else arrays[:1]
-        group_codec, _ = chooser.choose_codec(sample, probe_rows, base)
-
     block_id = 0
-    i = 0
-    n = len(arrays)
-    while i < n:
-        j = i
-        tok = 0
-        while j < n and (tok == 0 or tok + arrays[j].size <= BLOCK_TOKENS):
-            tok += arrays[j].size
-            j += 1
-        chunk = arrays[i:j]
-        blob, cid = blocks.encode_block_rows(
-            chunk, codec_id=group_codec, base=base, rows_bytes=rows_bytes[i:j]
-        )
-        raw_bytes = int(sum(a.nbytes for a in chunk))
-        out.append(
-            (part_id, block_id, core.CODEC_NAMES[cid], base_doc_id,
-             doc_ids[i:j], j - i, int(tok), raw_bytes, len(blob), blob)
-        )
-        block_id += 1
-        i = j
+    n_base = 0
+    for idx in _cluster_rows(rows_bytes):
+        base_i = idx[0]
+        base = rows_bytes[base_i]
+        base_doc_id = doc_ids[base_i]
+
+        # codec choice once per cluster; the per-block raw-fallback guard
+        # still protects against local expansion
+        cluster_codec = force_codec
+        if cluster_codec is None:
+            from gdelta_spark import chooser
+
+            cl_arrays = [arrays[k] for k in idx[:64]]
+            sample = np.concatenate(cl_arrays)[: chooser.SAMPLE_TOKENS * 4]
+            # probe rows exclude the base row (self-delta ~ 0 bytes would
+            # wildly overestimate gdelta's win)
+            probe_rows = (
+                [arrays[k] for k in idx[1:4]] if len(idx) > 1 else [arrays[base_i]]
+            )
+            cluster_codec, _ = chooser.choose_codec(sample, probe_rows, base)
+
+        if cluster_codec == core.GDELTA:
+            # bootstrap block: the elected base row, self-contained (any
+            # codec except gdelta — no base available at decode time; the
+            # chooser with base=None never picks gdelta); only gdelta-coded
+            # clusters need one
+            n_base += 1
+            base_blob, _ = blocks.encode_block_rows([arrays[base_i]], base=None)
+            out.append(
+                (part_id, -n_base, "base", base_doc_id, [base_doc_id], 1,
+                 int(arrays[base_i].size), int(arrays[base_i].nbytes),
+                 len(base_blob), base_blob)
+            )
+
+        i = 0
+        n = len(idx)
+        while i < n:
+            j = i
+            tok = 0
+            while j < n and (tok == 0 or tok + arrays[idx[j]].size <= BLOCK_TOKENS):
+                tok += arrays[idx[j]].size
+                j += 1
+            sel = idx[i:j]
+            chunk = [arrays[k] for k in sel]
+            blob, cid = blocks.encode_block_rows(
+                chunk, codec_id=cluster_codec, base=base,
+                rows_bytes=[rows_bytes[k] for k in sel],
+            )
+            raw_bytes = int(sum(a.nbytes for a in chunk))
+            out.append(
+                (part_id, block_id, core.CODEC_NAMES[cid], base_doc_id,
+                 [doc_ids[k] for k in sel], j - i, int(tok), raw_bytes, len(blob), blob)
+            )
+            block_id += 1
+            i = j
 
     return pd.DataFrame(
         out,

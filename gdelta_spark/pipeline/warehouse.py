@@ -47,16 +47,25 @@ def validate_tokens_schema(df: DataFrame) -> None:
         raise ValueError(f"tokens table column type mismatch: {wrong}")
 
 
-def part_hashes(salted_bin_df: DataFrame) -> DataFrame:
-    """Order-independent per-partition content hash of the *input* rows:
-    xor of xxhash64(doc_id, full serialized token bytes) — full content
-    integrity, one JVM-side pass."""
+def part_keys(salted_narrow_df: DataFrame) -> DataFrame:
+    """Order-independent per-partition identity from NARROW columns
+    (doc_id, n_tok) only — resume resolution never reads the token payload
+    (round 1 hashed the payload in a separate full scan: 2x read
+    amplification at 100 TB). The xor is complemented by an order-
+    independent mod-sum so an even multiset change (e.g. a duplicated
+    (doc_id, n_tok) pair added twice) cannot cancel, and the row count is
+    part of the key. Payload integrity is owned by the commit path: the
+    kernel records a content hash of the exact bytes it encoded and
+    cross-checks row counts against this key."""
+    row_key = F.xxhash64("doc_id", "n_tok")
     return (
-        salted_bin_df.withColumn("row_hash", F.xxhash64("doc_id", "tok_bytes"))
+        salted_narrow_df.withColumn("row_key", row_key)
         .groupBy("part_id")
         .agg(
             # bit_xor: order-independent and overflow-free under ANSI mode
-            F.expr("bit_xor(row_hash)").alias("input_hash"),
+            F.expr("bit_xor(row_key)").alias("key_hash"),
+            # mod keeps the sum far from int64 overflow (2e9 * rows)
+            F.sum(F.pmod(F.col("row_key"), F.lit(2000000011))).alias("key_sum"),
             F.count("*").alias("input_rows"),
         )
     )
@@ -82,17 +91,23 @@ class Warehouse:
 
     def committed_df(self, spark: SparkSession) -> DataFrame:
         rows = [
-            (m["part_id"], int(m["input_hash"])) for m in self.committed_manifests()
+            (m["part_id"], int(m["key_hash"]), int(m["key_sum"]), int(m["input_rows"]))
+            for m in self.committed_manifests()
         ]
-        return spark.createDataFrame(rows, "part_id string, input_hash long")
+        return spark.createDataFrame(
+            rows, "part_id string, key_hash long, key_sum long, input_rows long"
+        )
 
-    def pending(self, spark: SparkSession, salted_tokens: DataFrame) -> DataFrame:
-        """Partitions whose (part_id, input_hash) is not yet committed —
-        a broadcast left-anti join (small manifest side)."""
-        hashes = part_hashes(salted_tokens)
+    def pending(self, spark: SparkSession, salted_narrow: DataFrame) -> DataFrame:
+        """Partitions whose (part_id, key_hash, key_sum, input_rows) is not
+        yet committed — a broadcast left-anti join (small manifest side).
+        ``salted_narrow`` needs only (part_id, doc_id, n_tok)."""
+        keys = part_keys(salted_narrow)
         committed = self.committed_df(spark)
-        return hashes.join(
-            F.broadcast(committed), ["part_id", "input_hash"], "left_anti"
+        return keys.join(
+            F.broadcast(committed),
+            ["part_id", "key_hash", "key_sum", "input_rows"],
+            "left_anti",
         )
 
     # -- commit -------------------------------------------------------------
@@ -120,26 +135,35 @@ class Warehouse:
     def fsck(self) -> dict:
         """Repair invariants: a manifest whose data file is missing is
         dropped (its partition re-encodes on the next run); a data file
-        without a manifest is an uncommitted leftover and is removed."""
-        manifests = {
-            name[: -len(".json")]
-            for name in os.listdir(self.manifest_dir)
-            if name.endswith(".json")
-        }
+        without a manifest is an uncommitted leftover and is removed.
+
+        The data directory is listed FIRST and every removal re-checks the
+        opposite file's existence just before acting, so a commit racing
+        the two listings (data renamed in, manifest written moments later
+        — the commit order) is never torn down (round-1 advice)."""
         data = {
             name[: -len(".parquet")]
             for name in os.listdir(self.blocks_dir)
             if name.endswith(".parquet")
         }
-        orphan_manifests = manifests - data
-        orphan_data = data - manifests
-        for m in orphan_manifests:
-            os.remove(os.path.join(self.manifest_dir, m + ".json"))
-        for d in orphan_data:
-            os.remove(os.path.join(self.blocks_dir, d + ".parquet"))
+        manifests = {
+            name[: -len(".json")]
+            for name in os.listdir(self.manifest_dir)
+            if name.endswith(".json")
+        }
+        dropped_manifests = []
+        for m in manifests - data:
+            if not os.path.exists(os.path.join(self.blocks_dir, m + ".parquet")):
+                os.remove(os.path.join(self.manifest_dir, m + ".json"))
+                dropped_manifests.append(m)
+        dropped_data = []
+        for d in data - manifests:
+            if not os.path.exists(os.path.join(self.manifest_dir, d + ".json")):
+                os.remove(os.path.join(self.blocks_dir, d + ".parquet"))
+                dropped_data.append(d)
         return {
-            "dropped_manifests": sorted(orphan_manifests),
-            "dropped_data": sorted(orphan_data),
+            "dropped_manifests": sorted(dropped_manifests),
+            "dropped_data": sorted(dropped_data),
         }
 
 
@@ -157,6 +181,12 @@ def encode_and_commit(
     ``tokens``: a tokens DataFrame (array<int> or pre-serialized binary) or a
     parquet path (read Python-natively — the fast path at scale, see pyscan).
     Returns a job summary dict (partitions encoded/skipped, byte totals).
+
+    The token payload is scanned exactly ONCE (the encode pass over pending
+    partitions). Pending resolution runs on a column-pruned narrow scan
+    (doc_id, n_tok, source) — at 100 TB that is KBs of parquet pages per
+    partition instead of re-reading every token byte; payload integrity is
+    recorded at commit time from the bytes already in the kernel's hands.
     """
     from gdelta_spark.pipeline import partitioning, serde
 
@@ -164,46 +194,59 @@ def encode_and_commit(
     if isinstance(tokens, str):
         from gdelta_spark.pipeline import pyscan
 
-        # narrow column-pruned JVM scan feeds the salt plan; the payload
-        # scan (Python-native) then runs exactly once
-        stats_df = spark.read.parquet(tokens).select("n_tok", "source")
+        # column-pruned JVM scan: feeds BOTH the salt plan and the pending
+        # keys without touching the 'tokens' pages
+        narrow_src = spark.read.parquet(tokens).select("doc_id", "n_tok", "source")
+        stats_df = narrow_src
         bin_df = pyscan.scan_tokens_binary(spark, tokens)
     elif serde.TOK_BYTES_COL in tokens.columns:
         bin_df = tokens
+        narrow_src = tokens.select("doc_id", "n_tok", "source")
     else:
         validate_tokens_schema(tokens)
         bin_df = serde.serialize_tokens(tokens, keep=("doc_id", "n_tok", "source"))
+        narrow_src = tokens.select("doc_id", "n_tok", "source")
 
     wh = Warehouse(root)
-    salted = partitioning.with_salt(
-        bin_df, group_bytes or partitioning.DEFAULT_GROUP_BYTES, stats_df=stats_df
-    )
-    if part_prefix:
+    gb = group_bytes or partitioning.DEFAULT_GROUP_BYTES
+
+    def prefix(df: DataFrame) -> DataFrame:
         # scope partitions (e.g. per streaming micro-batch) so commits from
         # different scopes never collide on a part_id
-        salted = salted.withColumn(
-            "part_id", F.concat(F.lit(part_prefix), F.col("part_id"))
-        )
-    # ONE full pass computes all per-partition hashes (O(partitions) rows);
-    # the pending set is then resolved driver-side against the local
-    # manifest list — no second scan of the corpus.
-    all_hashes = part_hashes(salted).collect()
-    n_total = len(all_hashes)
+        if part_prefix:
+            return df.withColumn(
+                "part_id", F.concat(F.lit(part_prefix), F.col("part_id"))
+            )
+        return df
+
+    salted_narrow = prefix(partitioning.with_salt(narrow_src, gb, stats_df=stats_df))
+    all_keys = part_keys(salted_narrow).collect()
+    n_total = len(all_keys)
     committed = {
-        (m["part_id"], int(m["input_hash"])) for m in wh.committed_manifests()
+        (m["part_id"], int(m["key_hash"]), int(m["key_sum"]), int(m["input_rows"]))
+        for m in wh.committed_manifests()
     }
     todo = [
-        r for r in all_hashes if (r["part_id"], int(r["input_hash"])) not in committed
+        r
+        for r in all_keys
+        if (r["part_id"], int(r["key_hash"]), int(r["key_sum"]), int(r["input_rows"]))
+        not in committed
     ]
     n_pending = len(todo)
     if n_pending == 0:
         return {"partitions": n_total, "encoded": 0, "skipped": n_total}
 
-    hash_by_part = {r["part_id"]: (int(r["input_hash"]), int(r["input_rows"])) for r in todo}
+    keys_by_part = {
+        r["part_id"]: (int(r["key_hash"]), int(r["key_sum"]), int(r["input_rows"]))
+        for r in todo
+    }
     pend_ids = spark.createDataFrame(
-        [(p,) for p in hash_by_part], "part_id string"
+        [(p,) for p in keys_by_part], "part_id string"
     )
+    salted = prefix(partitioning.with_salt(bin_df, gb, stats_df=stats_df))
     work = salted.join(F.broadcast(pend_ids), "part_id")
+
+    import hashlib
 
     import pandas as pd
 
@@ -215,10 +258,20 @@ def encode_and_commit(
         out = encode_mod._encode_group(pdf)
         wh_local = Warehouse(root_b)
         data = out[out["block_id"] >= 0]
-        input_hash, input_rows = hash_by_part[part_id]
+        key_hash, key_sum, input_rows = keys_by_part[part_id]
+        # payload integrity, from the exact bytes being encoded (no extra
+        # scan): md5 over (doc_id, tok_bytes) in doc_id order
+        h = hashlib.md5()
+        order = sorted(range(len(pdf)), key=lambda i: pdf["doc_id"].iloc[i])
+        for i in order:
+            h.update(pdf["doc_id"].iloc[i].encode())
+            h.update(bytes(pdf["tok_bytes"].iloc[i]))
         manifest = {
             "part_id": part_id,
-            "input_hash": input_hash,
+            "key_hash": key_hash,
+            "key_sum": key_sum,
+            "input_rows": input_rows,
+            "content_md5": h.hexdigest(),
             "snapshot": snapshot,
             "n_rows": int(data["n_rows"].sum()),
             "n_tokens": int(data["n_tokens"].sum()),

@@ -68,6 +68,18 @@ def test_codec_wins_match_regimes():
     light codecs — the premise of the cost-based chooser."""
     base = tokens_to_bytes(fixtures.base_sequence(42, "near-dup"))
     for regime in fixtures.REGIMES:
+        if regime == "mixed-dup":
+            # designed to defeat a single foreign base: gdelta must win only
+            # against a same-template base (cluster-elected, encode.py)
+            cluster = [fixtures.make_tokens(42, regime, i) for i in (0, 8, 16, 24)]
+            tbase = tokens_to_bytes(cluster[0])
+            arr = np.concatenate(cluster[1:])
+            with_base = len(codecs.encode_block(arr, core.GDELTA, base=tbase))
+            best_light = min(
+                len(codecs.encode_block(arr, cid)) for cid in NON_DELTA
+            )
+            assert with_base * 3 < best_light, (with_base, best_light)
+            continue
         arr = np.concatenate([fixtures.make_tokens(42, regime, i) for i in range(8)])
         sizes = {}
         for cid in NON_DELTA:

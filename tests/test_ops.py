@@ -65,7 +65,7 @@ def test_decode_job_cli(spark, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-    assert json.loads(line)["rows"] == 48
+    assert json.loads(line)["rows"] == 56
     # decoded table matches source exactly
     src = spark.read.parquet(inp).select("doc_id", "tokens")
     dec = spark.read.parquet(out).withColumnRenamed("tokens", "t2")
@@ -95,4 +95,4 @@ def test_verify_job_cli_local_mode(spark, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
-    assert out == {"rows": 48, "mismatches": 0, "ok": True, "mode": "local"}
+    assert out == {"rows": 56, "mismatches": 0, "ok": True, "mode": "local"}

@@ -89,3 +89,79 @@ def test_near_dup_partition_uses_gdelta(spark, tokens_df):
     raw = sum(r["raw_bytes"] for r in rows)
     enc = sum(r["enc_bytes"] for r in rows)
     assert raw / enc > 50, f"near-dup ratio only {raw/enc:.1f}x"
+
+
+def test_resume_key_detects_duplicate_pair(spark, tmp_path):
+    """An even multiset change (the same row added twice) must re-encode the
+    partition: a pure xor key cancels, the mod-sum + row-count key does not
+    (round-1 advice)."""
+    import pandas as pd
+
+    root = str(tmp_path / "wh")
+    base_rows = [("d0", [1, 2, 3], 3, "s"), ("d1", [4, 5, 6], 3, "s")]
+    df1 = spark.createDataFrame(
+        pd.DataFrame(base_rows, columns=["doc_id", "tokens", "n_tok", "source"]),
+        schema=generator.TOKENS_SCHEMA,
+    )
+    s1 = warehouse.encode_and_commit(spark, df1, root, group_bytes=1 << 20)
+    assert s1["encoded"] == 1
+
+    # same partition content + one row duplicated twice -> xor of row keys
+    # is unchanged, but the partition must still be pending
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            base_rows + [("d0", [1, 2, 3], 3, "s"), ("d0", [1, 2, 3], 3, "s")],
+            columns=["doc_id", "tokens", "n_tok", "source"],
+        ),
+        schema=generator.TOKENS_SCHEMA,
+    )
+    s2 = warehouse.encode_and_commit(spark, df2, root, group_bytes=1 << 20)
+    assert s2["encoded"] == 1, s2
+
+    # unchanged re-run skips
+    s3 = warehouse.encode_and_commit(spark, df2, root, group_bytes=1 << 20)
+    assert s3 == {"partitions": 1, "encoded": 0, "skipped": 1}
+
+
+def test_mixed_dup_cluster_base_election():
+    """A partition interleaving 8 near-dup templates must elect one base per
+    cluster: single-base gdelta can only delta 1/8 of rows (round-1 verdict
+    #7). Measured here: >5x ratio improvement and bit-exact roundtrip."""
+    import pandas as pd
+
+    from gdelta_spark import fixtures
+    from gdelta_spark.pipeline import decode as decode_kernel
+    from gdelta_spark.pipeline import encode as encode_kernel
+
+    rows = [
+        (doc_id, np.ascontiguousarray(tokens, "<i4").tobytes())
+        for doc_id, tokens, _, _ in fixtures.rows(42, "mixed-dup", 64)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "part_id": "mixed/b0/s0",
+            "doc_id": [r[0] for r in rows],
+            "tok_bytes": [r[1] for r in rows],
+        }
+    )
+    out = encode_kernel._encode_group(pdf)
+    data = out[out["block_id"] >= 0]
+    n_bases = int((out["block_id"] < 0).sum())
+    assert n_bases >= 6, n_bases  # ~one per template
+    ratio_with_bases = data["raw_bytes"].sum() / out["enc_bytes"].sum()
+
+    # single-base comparison: force the old behavior
+    orig = encode_kernel._cluster_rows
+    encode_kernel._cluster_rows = lambda rbs: [list(range(len(rbs)))]
+    try:
+        out1 = encode_kernel._encode_group(pdf)
+    finally:
+        encode_kernel._cluster_rows = orig
+    ratio_single = (
+        out1[out1["block_id"] >= 0]["raw_bytes"].sum() / out1["enc_bytes"].sum()
+    )
+    assert ratio_with_bases > 5 * ratio_single, (ratio_with_bases, ratio_single)
+
+    dec = decode_kernel._decode_group(out)
+    m = dict(zip(dec["doc_id"], dec["tok_bytes"]))
+    assert all(m[d] == b for d, b in zip(pdf["doc_id"], pdf["tok_bytes"]))
