@@ -33,26 +33,32 @@ class BlockStats:
     base_similarity: float  # sampled gdelta ratio vs base (1.0 = incompressible)
 
 
+def probe_similarity(sample_rows: list[np.ndarray], base: bytes | None) -> float:
+    """Sampled gdelta ratio of a few rows vs ``base`` (1.0 = incompressible).
+
+    Bounded probe: slices keep the worst case (highly repetitive windows ->
+    dense spurious matches) cheap, and near-dup rows show their similarity
+    in any aligned prefix. Cheap enough to run per similarity cluster."""
+    if base is None or not sample_rows:
+        return 1.0
+    from gdelta_spark.codecs.gdelta_codec import gdelta_encode
+
+    probe_base = base[: 4 * PROBE_TOKENS]
+    raw = enc = 0
+    for row in sample_rows[:3]:
+        rb = tokens_to_bytes(row[:PROBE_TOKENS])
+        raw += len(rb)
+        enc += len(gdelta_encode(rb, probe_base))
+    return enc / raw if raw else 1.0
+
+
 def collect_stats(values: np.ndarray, sample_rows: list[np.ndarray], base: bytes | None) -> BlockStats:
     v = values if values.size <= SAMPLE_TOKENS else values[: SAMPLE_TOKENS]
     v64 = v.astype(np.int64, copy=False)
     card = int(np.unique(v).size)
     n_runs = int((np.diff(v64) != 0).sum()) + 1 if v.size else 0
     rng = int(v64.max() - v64.min()) if v.size else 0
-    sim = 1.0
-    if base is not None and sample_rows:
-        from gdelta_spark.codecs.gdelta_codec import gdelta_encode
-
-        # bounded probe: slices keep the worst case (highly repetitive
-        # windows -> dense spurious matches) cheap, and near-dup rows show
-        # their similarity in any aligned prefix
-        probe_base = base[: 4 * PROBE_TOKENS]
-        raw = enc = 0
-        for row in sample_rows[:3]:
-            rb = tokens_to_bytes(row[:PROBE_TOKENS])
-            raw += len(rb)
-            enc += len(gdelta_encode(rb, probe_base))
-        sim = enc / raw if raw else 1.0
+    sim = probe_similarity(sample_rows, base)
     return BlockStats(int(values.size), card, n_runs, rng, sim)
 
 

@@ -45,19 +45,73 @@ _SIG_MULT_2 = np.uint64(0xC2B2AE3D27D4EB4F)
 MIN_CLUSTER_ROWS = 3
 
 
-def _row_signature(rb: bytes) -> tuple[int, int]:
-    """Two MinHashes over token-aligned 8-byte windows (4-byte stride) of
-    the serialized row. Whole-token insertions/deletions shift content by
-    multiples of 4 bytes, so window alignment survives edits; near-duplicate
-    rows therefore share both minima with high probability. O(n_tok),
-    vectorized; a false merge only costs ratio (correctness never depends on
-    base choice — SURVEY §0)."""
-    a = np.frombuffer(rb, dtype="<u4")
-    if a.size < 2:
-        v = int(a[0]) if a.size else 0
-        return (v, v)
-    w = a[:-1].astype(np.uint64) | (a[1:].astype(np.uint64) << np.uint64(32))
-    return (int((w * _SIG_MULT_1).min()), int((w * _SIG_MULT_2).min()))
+_SIG_MULT_3 = np.uint64(0x165667B19E3779F9)
+_SIG_MULT_4 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _hash_lanes(v: np.ndarray) -> np.ndarray:
+    # 2-lane multiply-xor over 16-byte windows: cheap (3 temporaries) and
+    # the window space is still ~vocab^4, so spurious collisions are rare
+    # and the delta gate absorbs the remainder
+    return (v[:-1] * _SIG_MULT_1) ^ (v[1:] * _SIG_MULT_2)
+
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _row_signatures(rows_bytes: list[bytes]) -> list[int]:
+    """Per-row MinHash over 4-TOKEN (16 B) windows at 4-byte stride — two
+    uint64 grids (byte offsets 0 and 4) of 2-lane mixes over ONE
+    concatenated buffer, per-row minima via ``minimum.reduceat``. Whole-
+    token insertions/deletions shift content by multiples of 4 bytes, so
+    window alignment survives edits and near-duplicate rows share the
+    minimum with high probability; 32 B windows keep the window space huge
+    even on tiny vocabularies, and residual false merges are cheap (the
+    delta gate dissolves them — base choice never affects correctness,
+    SURVEY §0).
+
+    Batching matters: per-row numpy dispatch cost ~35 us/row, ~25% of the
+    whole kernel on 1-4k-token rows; this is 2 hash passes + 2 reduceats
+    for the whole group. Rows are padded to 8-byte alignment + 32 zero
+    bytes; windows reaching into a following row are masked out, so a
+    row's signature is a pure function of its own bytes and length."""
+    import zlib
+
+    k = len(rows_bytes)
+    if k == 0:
+        return []
+    pads = [b"\x00" * (8 + (-len(r)) % 8) for r in rows_bytes]
+    buf = b"".join(x for pair in zip(rows_bytes, pads) for x in pair)
+    sizes = np.fromiter((len(r) for r in rows_bytes), np.int64, k)
+    steps = sizes + np.fromiter((len(p) for p in pads), np.int64, k)
+    starts_b = np.zeros(k, np.int64)
+    if k > 1:
+        np.cumsum(steps[:-1], out=starts_b[1:])
+    starts = starts_b // 8  # 8-aligned by construction, strictly increasing
+    mins = np.full(k, _U64_MAX, np.uint64)
+    for off in (0, 4):
+        cnt = (len(buf) - off) // 8
+        if cnt < 2:
+            continue
+        h = _hash_lanes(np.frombuffer(buf, "<u8", offset=off, count=cnt))
+        # only windows FULLY inside the row's own bytes count (pad windows
+        # are all-zero -> hash 0 -> they'd become everyone's minimum):
+        # mask lane ranges [start + n_valid, next_start)
+        nvalid = np.clip((sizes - 16 - off) // 8 + 1, 0, None)
+        lo = np.minimum(starts + nvalid, h.size)
+        hi = np.minimum(np.append(starts[1:], h.size), h.size)
+        mark = np.zeros(h.size + 1, np.int32)
+        np.add.at(mark, lo, 1)
+        np.add.at(mark, hi, -1)
+        h[np.cumsum(mark[:-1]) > 0] = _U64_MAX
+        s = np.minimum(starts, h.size - 1)
+        np.minimum(mins, np.minimum.reduceat(h, s), out=mins)
+    out = mins.tolist()
+    for i, m in enumerate(out):
+        if sizes[i] < 16 or m == int(_U64_MAX):
+            # too short for any window: deterministic content fallback
+            out[i] = zlib.crc32(rows_bytes[i]) ^ (int(sizes[i]) << 33)
+    return out
 
 
 def _cluster_rows(rows_bytes: list[bytes]) -> list[list[int]]:
@@ -65,9 +119,9 @@ def _cluster_rows(rows_bytes: list[bytes]) -> list[list[int]]:
     the doc_id-sorted input (deterministic). Clusters smaller than
     MIN_CLUSTER_ROWS merge into one trailing rest cluster — heterogeneous,
     so the chooser rarely picks gdelta there."""
-    groups: dict[tuple[int, int], list[int]] = {}
-    for i, rb in enumerate(rows_bytes):
-        groups.setdefault(_row_signature(rb), []).append(i)
+    groups: dict[int, list[int]] = {}
+    for i, sig in enumerate(_row_signatures(rows_bytes)):
+        groups.setdefault(sig, []).append(i)
     clusters: list[list[int]] = []
     rest: list[int] = []
     for idx in groups.values():
@@ -90,28 +144,76 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
     arrays = [np.frombuffer(c, dtype="<i4") for c in rows_bytes]
     doc_ids = pdf["doc_id"].tolist()
 
+    # ONE full chooser per group (estimates + FSST measurement are the
+    # expensive part); clusters then pay only a tiny bounded delta probe to
+    # decide gdelta-vs-group-codec, so spurious clusters cost microseconds
+    group_codec = force_codec
+    group_per_token = 4.0
+    if force_codec is None:
+        from gdelta_spark import chooser
+
+        sample = np.concatenate(arrays[:64])[: chooser.SAMPLE_TOKENS * 4]
+        probe_rows = arrays[1:4] if len(arrays) > 1 else arrays[:1]
+        group_codec, group_est = chooser.choose_codec(sample, probe_rows, rows_bytes[0])
+        group_per_token = group_est[core.CODEC_NAMES[group_codec]] / max(sample.size, 1)
+
+    # Partition rows into gdelta clusters + ONE rest pool. A signature
+    # cluster is only kept if delta-vs-its-base actually wins (cheap
+    # bounded probe, with a free length pre-filter); everything else
+    # dissolves back into the rest pool so block sizes stay at
+    # BLOCK_TOKENS — spurious clusters (repetitive vocabularies collide
+    # minima) must cost neither block fragmentation nor probe storms.
+    delta_clusters: list[list[int]] = []
+    rest: list[int] = []
+    if force_codec is not None and force_codec != core.GDELTA:
+        # clustering only changes delta-base election; skip its cost
+        clusters = [list(range(len(rows_bytes)))]
+    else:
+        clusters = _cluster_rows(rows_bytes)
+    for idx in clusters:
+        if len(idx) < MIN_CLUSTER_ROWS:
+            rest.extend(idx)
+            continue
+        if force_codec is not None:
+            if force_codec == core.GDELTA:
+                delta_clusters.append(idx)
+            else:
+                rest.extend(idx)
+            continue
+        lens = [len(rows_bytes[k]) for k in idx]
+        if max(lens) > 1.5 * min(lens):
+            rest.extend(idx)  # near-dups have near-equal lengths
+            continue
+        if group_codec == core.GDELTA:
+            delta_clusters.append(idx)
+            continue
+        if group_per_token < 0.25:
+            # group codec already compresses >16x (e.g. long runs under
+            # RLE); a delta probe can't win enough to pay for itself —
+            # repetitive data is also exactly where probes are slowest
+            rest.extend(idx)
+            continue
+        from gdelta_spark import chooser
+
+        # gate: does delta-vs-cluster-base beat the group codec on
+        # bytes/token? (probe rows exclude the base — self-delta ~0 bytes
+        # would overestimate gdelta)
+        sim = chooser.probe_similarity([arrays[k] for k in idx[1:4]], base=rows_bytes[idx[0]])
+        if 4.0 * sim < group_per_token * 0.9:
+            delta_clusters.append(idx)
+        else:
+            rest.extend(idx)
+    work: list[tuple[list[int], int]] = [(ix, core.GDELTA) for ix in delta_clusters]
+    if rest:
+        work.append((sorted(rest), group_codec))
+
     out = []
     block_id = 0
     n_base = 0
-    for idx in _cluster_rows(rows_bytes):
+    for idx, cluster_codec in work:
         base_i = idx[0]
         base = rows_bytes[base_i]
         base_doc_id = doc_ids[base_i]
-
-        # codec choice once per cluster; the per-block raw-fallback guard
-        # still protects against local expansion
-        cluster_codec = force_codec
-        if cluster_codec is None:
-            from gdelta_spark import chooser
-
-            cl_arrays = [arrays[k] for k in idx[:64]]
-            sample = np.concatenate(cl_arrays)[: chooser.SAMPLE_TOKENS * 4]
-            # probe rows exclude the base row (self-delta ~ 0 bytes would
-            # wildly overestimate gdelta's win)
-            probe_rows = (
-                [arrays[k] for k in idx[1:4]] if len(idx) > 1 else [arrays[base_i]]
-            )
-            cluster_codec, _ = chooser.choose_codec(sample, probe_rows, base)
 
         if cluster_codec == core.GDELTA:
             # bootstrap block: the elected base row, self-contained (any

@@ -80,14 +80,88 @@ class Warehouse:
         os.makedirs(self.manifest_dir, exist_ok=True)
 
     # -- manifests ----------------------------------------------------------
+    #
+    # Two-tier manifest store (the Iceberg manifest-list pattern): fresh
+    # commits are one JSON per partition (atomic, executor-written);
+    # compact_manifests() folds them into ONE parquet manifest table so a
+    # 10^6-partition warehouse lists one file plus only the JSONs committed
+    # since, instead of 10^6 small files (SCALE.md seam).
 
-    def committed_manifests(self) -> list[dict]:
-        out = []
+    MANIFEST_TABLE = "_manifest_table.parquet"
+
+    def _table_path(self) -> str:
+        return os.path.join(self.manifest_dir, self.MANIFEST_TABLE)
+
+    def _json_manifests(self) -> dict[str, dict]:
+        out = {}
         for name in sorted(os.listdir(self.manifest_dir)):
             if name.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, name)) as f:
-                    out.append(json.load(f))
+                    m = json.load(f)
+                out[m["part_id"]] = m
         return out
+
+    def _table_manifests(self) -> dict[str, dict]:
+        path = self._table_path()
+        if not os.path.exists(path):
+            return {}
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(path).to_pylist()
+        return {m["part_id"]: m for m in rows}
+
+    def committed_manifests(self) -> list[dict]:
+        # JSON (newer) wins over the compacted table on the same part_id
+        merged = self._table_manifests()
+        merged.update(self._json_manifests())
+        return [merged[k] for k in sorted(merged)]
+
+    def compact_manifests(self) -> dict:
+        """Fold per-partition JSON manifests into the parquet manifest
+        table. Atomic (write-temp + rename), then remove exactly the JSONs
+        that were folded — a commit racing the fold survives as JSON and
+        wins the merge until the next compaction."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        jsons = self._json_manifests()
+        if not jsons:
+            return {"folded": 0, "total": len(self._table_manifests())}
+        merged = self._table_manifests()
+        merged.update(jsons)
+        rows = [merged[k] for k in sorted(merged)]
+        tmp = self._table_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.Table.from_pylist(rows), tmp, compression="zstd")
+        os.replace(tmp, self._table_path())
+        for part_id in jsons:
+            try:
+                os.remove(os.path.join(self.manifest_dir, _safe(part_id) + ".json"))
+            except FileNotFoundError:
+                pass
+        return {"folded": len(jsons), "total": len(rows)}
+
+    def _drop_manifests(self, part_ids: set[str]) -> None:
+        """Remove manifests (JSON and/or table entries) for the given parts."""
+        for part_id in part_ids:
+            p = os.path.join(self.manifest_dir, _safe(part_id) + ".json")
+            if os.path.exists(p):
+                os.remove(p)
+        table = self._table_manifests()
+        keep = {k: v for k, v in table.items() if k not in part_ids}
+        if len(keep) != len(table):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tmp = self._table_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+            if keep:
+                pq.write_table(
+                    pa.Table.from_pylist([keep[k] for k in sorted(keep)]),
+                    tmp,
+                    compression="zstd",
+                )
+                os.replace(tmp, self._table_path())
+            else:
+                os.remove(self._table_path())
 
     def committed_df(self, spark: SparkSession) -> DataFrame:
         rows = [
@@ -146,15 +220,12 @@ class Warehouse:
             for name in os.listdir(self.blocks_dir)
             if name.endswith(".parquet")
         }
-        manifests = {
-            name[: -len(".json")]
-            for name in os.listdir(self.manifest_dir)
-            if name.endswith(".json")
-        }
+        by_safe = {_safe(m["part_id"]): m["part_id"] for m in self.committed_manifests()}
+        manifests = set(by_safe)
         dropped_manifests = []
         for m in manifests - data:
             if not os.path.exists(os.path.join(self.blocks_dir, m + ".parquet")):
-                os.remove(os.path.join(self.manifest_dir, m + ".json"))
+                self._drop_manifests({by_safe[m]})
                 dropped_manifests.append(m)
         dropped_data = []
         for d in data - manifests:
@@ -173,6 +244,7 @@ def encode_and_commit(
     root: str,
     group_bytes: int | None = None,
     part_prefix: str = "",
+    compact_threshold: int = 1024,
 ) -> dict:
     """Full encode pipeline with checkpoint/resume: salt -> pending anti-join
     -> encode kernel -> per-partition atomic commit (inside the same Spark
@@ -308,6 +380,10 @@ def encode_and_commit(
         F.sum("raw_bytes").alias("raw"),
         F.sum("enc_bytes").alias("enc"),
     ).collect()[0]
+    # keep the manifest dir listable at 10^6 partitions: fold JSONs into the
+    # parquet manifest table once enough accumulate
+    if compact_threshold and len(wh._json_manifests()) >= compact_threshold:
+        wh.compact_manifests()
     return {
         "partitions": n_total,
         "encoded": int(agg["parts"] or 0),

@@ -96,3 +96,39 @@ def test_verify_job_cli_local_mode(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-1500:]
     out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
     assert out == {"rows": 56, "mismatches": 0, "ok": True, "mode": "local"}
+
+
+def test_manifest_compaction(spark, tmp_path):
+    """JSON manifests fold into one parquet manifest table; resume, fsck and
+    re-commit semantics are unchanged afterwards (the 10^6-partition seam
+    from SCALE.md)."""
+    import os
+
+    root = str(tmp_path / "wh")
+    tokens = generator.tokens_table(spark, rows_per_regime=12, num_partitions=4)
+    tokens.cache().count()
+    s = warehouse.encode_and_commit(spark, tokens, root, group_bytes=1 << 20)
+    assert s["encoded"] > 2
+
+    wh = warehouse.Warehouse(root)
+    before = wh.committed_manifests()
+    r = wh.compact_manifests()
+    assert r["folded"] == len(before) and r["total"] == len(before)
+    jsons = [n for n in os.listdir(os.path.join(root, "manifests")) if n.endswith(".json")]
+    assert jsons == []
+    assert wh.committed_manifests() == sorted(before, key=lambda m: m["part_id"])
+
+    # resume still skips everything
+    s2 = warehouse.encode_and_commit(spark, tokens, root, group_bytes=1 << 20)
+    assert s2["encoded"] == 0 and s2["skipped"] == s["partitions"]
+
+    # fsck repairs a table-entry manifest whose data file disappeared
+    datafiles = sorted(os.listdir(os.path.join(root, "blocks")))
+    os.remove(os.path.join(root, "blocks", datafiles[0]))
+    rep = wh.fsck()
+    assert len(rep["dropped_manifests"]) == 1
+    s3 = warehouse.encode_and_commit(spark, tokens, root, group_bytes=1 << 20)
+    assert s3["encoded"] == 1
+    # second compaction folds the re-commit's JSON back in
+    r2 = wh.compact_manifests()
+    assert r2["folded"] == 1 and r2["total"] == s["partitions"]
