@@ -314,6 +314,12 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(spark, sf_dir)
 
 
+def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import multimodal
+
+    return multimodal.multimodal_stats(spark, sf_dir)
+
+
 def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: two micro-batch waves through the Structured-Streaming
     ingest (streaming.py) into a temp warehouse; per-wave commit summary
@@ -401,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "token_counts": _q_token_counts,
         "lang_confusion": _q_lang_confusion,
+        "multimodal_stats": _q_multimodal_stats,
         "streaming_ingest": _q_streaming_ingest,
     }
 
@@ -523,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _ops_dedup().DOC_FINGERPRINTS_ORACLE,
         "token_counts": _ops_text().TOKEN_COUNTS_ORACLE,
         "lang_confusion": _ops_text().LANG_CONFUSION_ORACLE,
+        "multimodal_stats": _ops_multimodal().MULTIMODAL_STATS_ORACLE,
         # compression_summary / fixture_regimes / streaming_ingest: real
         # encoder + streaming runs — not SQL-expressible; the driver records
         # rows-only checks for them.
@@ -545,3 +553,9 @@ def _ops_text():
     from gdelta_spark.ops import textstats
 
     return textstats
+
+
+def _ops_multimodal():
+    from gdelta_spark.ops import multimodal
+
+    return multimodal

@@ -1,0 +1,154 @@
+"""Multimodal columns: opaque ``binary`` payloads with typed metadata.
+
+The engine's spine already moves arbitrary bytes (serde.py reinterprets
+Arrow buffers; blocks store ``blob: binary``), so images/audio/video ride
+as ``payload: binary`` plus typed metadata columns. This module provides
+the operators a training-data pipeline needs over such columns:
+
+- ``ingest_binary``: schema validation + JVM-side fingerprint/size
+  metadata (no Python in the hot path).
+- ``payload_features``: Arrow-batched ``mapInPandas`` feature extraction
+  over the raw bytes — the real plumbing (schema, batch shape, vectorized
+  per-batch numpy) with a byte-class featurizer that needs no media
+  libraries. True image/audio decoding is STUBBED (``decode_media``)
+  because this container has no PIL/av/librosa; the UDF signature, batch
+  handling, and output schema are exactly what a real decoder drops into.
+- ``sample_frames``: deterministic fixed-stride frame sampling over the
+  byte stream (the video-keyframe access pattern) — again: real batching,
+  fake frames.
+
+``multimodal_stats`` is oracle-checkable end-to-end: payloads here derive
+deterministically from document text (utf-8 bytes), so DuckDB can compute
+the same integer features from the text side while Spark computes them
+from the BINARY side through the full mapInPandas path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+PAYLOAD_SCHEMA = "item_id long, modality string, payload binary, n_bytes long"
+FEATURE_SCHEMA = "item_id long, n_bytes long, n_space long, n_digit long, n_upper long"
+
+
+def decode_media(payload: bytes, modality: str):
+    """STUB: this container ships no image/audio/video libraries. A real
+    deployment implements this with PIL/torchaudio/av; everything around
+    it (Arrow batching, schemas, partitioning) is already real."""
+    raise NotImplementedError(
+        f"no media codec for {modality!r} in this environment; "
+        "payloads are treated as opaque bytes (see payload_features)"
+    )
+
+
+def documents_as_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multimodal stand-in: each document's utf-8 bytes as an
+    opaque payload with typed metadata. encode(text) is bit-deterministic,
+    so oracle engines can reproduce every byte-level statistic from text."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("text/plain").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def ingest_binary(df: DataFrame) -> DataFrame:
+    """Validate the multimodal shape and add JVM-side content fingerprints."""
+    need = {"item_id", "modality", "payload"}
+    missing = need - set(df.columns)
+    if missing:
+        raise ValueError(f"multimodal table missing columns: {sorted(missing)}")
+    return df.withColumn("fingerprint", F.xxhash64("payload")).withColumn(
+        "n_bytes", F.length("payload").cast("long")
+    )
+
+
+def payload_features(df: DataFrame) -> DataFrame:
+    """Byte-class features per item via Arrow-batched mapInPandas: the
+    decode-and-featurize shape (binary in -> fixed feature row out), with
+    numpy byte-histogram math standing in for a media decoder."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(b, minlength=256)
+                out.append(
+                    (
+                        item_id,
+                        int(b.size),
+                        int(counts[0x20]),
+                        int(counts[0x30:0x3A].sum()),
+                        int(counts[0x41:0x5B].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["item_id", "n_bytes", "n_space", "n_digit", "n_upper"]
+            )
+
+    return df.select("item_id", "payload").mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64, n_frames: int = 4) -> DataFrame:
+    """Fixed-stride 'frame' sampling over the byte stream (keyframe access
+    pattern): item -> n_frames slices of frame_bytes each, exploded to one
+    row per frame with its offset. Deterministic; a real video pipeline
+    swaps the slicer for a codec-aware keyframe reader."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, offs, blobs = [], [], []
+            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if not raw:
+                    continue
+                stride = max(len(raw) // n_frames, 1)
+                for k in range(min(n_frames, len(raw))):
+                    off = k * stride
+                    ids.append(item_id)
+                    offs.append(off)
+                    blobs.append(raw[off : off + frame_bytes])
+            yield pd.DataFrame({"item_id": ids, "frame_off": offs, "frame": blobs})
+
+    return df.select("item_id", "payload").mapInPandas(
+        frames, "item_id long, frame_off long, frame binary"
+    )
+
+
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte-class feature rollup through the FULL binary path:
+    documents -> binary payload -> mapInPandas featurizer -> aggregate."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("item_id"), "source"
+    )
+    feats = payload_features(documents_as_binary(spark, sf_dir))
+    return (
+        feats.join(d, "item_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum("n_space").alias("sum_space"),
+            F.sum("n_digit").alias("sum_digit"),
+            F.sum("n_upper").alias("sum_upper"),
+        )
+        .orderBy("source")
+    )
+
+
+MULTIMODAL_STATS_ORACLE = """
+SELECT source, COUNT(*) AS n_items,
+       CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+       CAST(SUM(strlen(text) - strlen(replace(text, ' ', ''))) AS BIGINT) AS sum_space,
+       CAST(SUM(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT) AS sum_digit,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Z]'))) AS BIGINT) AS sum_upper
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -29,9 +29,13 @@ def main() -> None:
     spark = get_spark(
         f"gdelta-bench-{args.cores}",
         master=f"local[{args.cores}]",
-        shuffle_partitions=args.cores * 2,
-        # keep the apply stage at 2 tasks/core; AQE's 64MB advisory target
-        # would coalesce it to ~n_bytes/64MB tasks and cap parallelism
+        # many small tasks regardless of core count: per-group encode cost
+        # varies ~20x across regimes, so 2 tasks/core leaves a straggler
+        # tail at the higher level (measured: it alone costs ~15 points of
+        # N->4N efficiency); 64+ tasks let the scheduler smooth the skew
+        shuffle_partitions=max(args.cores * 8, 64),
+        # AQE's 64MB advisory target would coalesce the apply stage to
+        # ~n_bytes/64MB tasks and cap parallelism
         extra={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
     )
     # narrow JVM scan for stats; Python-native scan for the data path
@@ -64,6 +68,7 @@ def main() -> None:
         F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
     ).collect()[0]
     wall = time.time() - t0
+    print(f"phase: main_job={wall:.1f}s", file=sys.stderr)
 
     print(
         json.dumps(

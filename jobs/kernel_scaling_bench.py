@@ -21,7 +21,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def _build_groups(input_path: str, group_mb: int) -> list[list[bytes]]:
+def _build_groups(
+    input_path: str, group_mb: int, max_bytes: int | None = None
+) -> list[list[bytes]]:
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -33,11 +35,22 @@ def _build_groups(input_path: str, group_mb: int) -> list[list[bytes]]:
     order = np.lexsort((tbl.column("doc_id").to_pylist(), np.floor(np.log2(n_tok + 1)), src))
     toks = tbl.column("tokens")
     budget = group_mb << 20
+    # stratified byte cap: every source keeps its share, so a capped sample
+    # has the corpus's regime mix (a prefix cap would sample one source)
+    per_src_cap = None
+    if max_bytes is not None:
+        per_src_cap = max_bytes // max(len(set(src)), 1)
+    taken: dict[str, int] = {}
     groups: list[list[bytes]] = []
     cur: list[bytes] = []
     cur_bytes = 0
     prev_key = None
     for i in order.tolist():
+        if per_src_cap is not None:
+            t = taken.get(src[i], 0)
+            if t >= per_src_cap:
+                continue
+            taken[src[i]] = t + int(n_tok[i]) * 4
         key = (src[i], int(np.log2(n_tok[i] + 1)))
         row = toks[i].values.to_numpy().astype("<i4").tobytes()
         if key != prev_key or cur_bytes + len(row) > budget:
@@ -86,7 +99,11 @@ def _roundtrip_one(gi: int) -> tuple[int, int]:
 
 def run_level(groups, procs: int, roundtrip: bool = False) -> dict:
     fn = _roundtrip_one if roundtrip else _encode_one
-    with mp.Pool(procs, initializer=_init, initargs=(groups,)) as pool:
+    # fork + module global: children inherit the groups copy-on-write;
+    # initargs would PICKLE the whole corpus to every worker (measured:
+    # that IPC dominated small runs and corrupted the efficiency number)
+    _init(groups)
+    with mp.Pool(procs) as pool:
         t0 = time.time()
         res = pool.map(fn, range(len(groups)))
         wall = time.time() - t0
@@ -102,9 +119,12 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--group-mb", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--max-gb", type=float, default=None,
+                    help="cap sampled input so kernel reps fit a time budget")
     args = ap.parse_args()
 
-    groups = _build_groups(args.input, args.group_mb)
+    max_bytes = int(args.max_gb * 1e9) if args.max_gb else None
+    groups = _build_groups(args.input, args.group_mb, max_bytes=max_bytes)
     levels: dict[int, dict] = {}
     # interleave the two levels and keep minima: the sandbox's background
     # load varies minute-to-minute, so A,B,A,B sampling beats A,A,B,B
