@@ -314,6 +314,24 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_confusion(spark, sf_dir)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import ann
+
+    return ann.ann_ivf_topk(spark, sf_dir)
+
+
+def _q_simhash_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import dedup
+
+    return dedup.simhash_text(spark, sf_dir)
+
+
+def _q_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import textstats
+
+    return textstats.quality_ratios(spark, sf_dir)
+
+
 def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdelta_spark.ops import multimodal
 
@@ -401,6 +419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixture_regimes": _q_fixture_regimes,
         "ann_topk": _q_ann_topk,
         "ann_lsh_best_pairs": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "simhash_text": _q_simhash_text,
+        "quality_ratios": _q_quality_ratios,
         "neardup_pairs": _q_neardup_pairs,
         "neardup_keep": _q_neardup_keep,
         "dedup_keep": _q_dedup_keep,
@@ -524,6 +545,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": _ops_ann().ANN_TOPK_ORACLE,
         "ann_lsh_best_pairs": _ops_ann().ANN_LSH_ORACLE,
+        "ann_ivf": _ops_ann().ANN_IVF_ORACLE,
+        "simhash_text": _ops_dedup().SIMHASH_TEXT_ORACLE,
+        "quality_ratios": _ops_text().QUALITY_RATIOS_ORACLE,
         "neardup_pairs": _ops_dedup().NEARDUP_PAIRS_ORACLE,
         "neardup_keep": _ops_dedup().NEARDUP_KEEP_ORACLE,
         "dedup_keep": _ops_dedup().DEDUP_KEEP_ORACLE,

@@ -142,6 +142,69 @@ def ann_lsh_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 8  # IVF coarse cells
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, q) — IVF coarse quantization: every vector assigned to
+    its max-dot centroid (ties -> smallest cell id).
+
+    Centroids are the quantized vectors of ``vec_id < N_CELLS`` — a
+    deterministic stand-in for a trained codebook; at production scale the
+    codebook comes from a sampled k-means job, but the *assignment plan* is
+    identical: broadcast the (tiny) centroid table, stream the corpus once,
+    and reduce the N_CELLS candidate dots with a map-side-combinable
+    ``max_by`` aggregate — no window shuffle of the fanned-out dots, no
+    corpus self-join."""
+    v = quantized_embeddings(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("cq")
+    )
+    dots = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cell", _dot(F.col("q"), F.col("cq")).alias("cdot")
+    )
+    # max_by over struct(cdot, -cell): max dot, then min cell id on ties.
+    # q is constant within a vec_id group, so first() is value-deterministic.
+    return dots.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("cdot"), (-F.col("cell")).alias("nc"))).alias("cell"),
+        F.first("q").alias("q"),
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """IVF search at nprobe=1: each query scans ONLY its own coarse cell.
+
+    The scale path for corpora too large to brute-force: candidate work per
+    query is |cell| ~ corpus/N_CELLS instead of |corpus|, and the probe is a
+    broadcast hash join on the cell id (query side is tiny), so the corpus
+    is never shuffled. Recall < 1.0 by construction (a neighbor can live in
+    an adjacent cell) — ``ann_topk`` is the exactness baseline; the oracle
+    reproduces the same nprobe=1 semantics, so this checks the *algorithm*,
+    not closed-world recall."""
+    cells = ivf_assign(spark, sf_dir)
+    qs = cells.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "cell", F.col("q").alias("qq")
+    )
+    dotted = (
+        cells.join(F.broadcast(qs), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cell",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qq"), F.col("q")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        dotted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same integer arithmetic, same tie-breaks)
 
@@ -205,4 +268,40 @@ SELECT bucket, vec_a, vec_b, dot FROM (
                                ORDER BY dot DESC, vec_a, vec_b) AS rnk
   FROM pair_dots
 ) WHERE rnk = 1 ORDER BY bucket
+"""
+
+ANN_IVF_ORACLE = f"""
+WITH {_DIMS_CTE},
+cdots AS (
+  SELECT v.vec_id, CAST(c.vec_id AS INT) AS cell,
+         CAST(SUM(v.qx * c.qx) AS BIGINT) AS cdot
+  FROM dims v JOIN dims c USING (d)
+  WHERE c.vec_id < {N_CELLS}
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cdot DESC, cell) AS rnk
+    FROM cdots
+  ) WHERE rnk = 1
+),
+cand AS (
+  SELECT q.vec_id AS query_id, q.cell, v.vec_id AS neighbor_id
+  FROM cells q JOIN cells v ON q.cell = v.cell AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+dotted AS (
+  SELECT c.query_id, c.cell, c.neighbor_id,
+         CAST(SUM(x.qx * y.qx) AS BIGINT) AS dot
+  FROM cand c
+  JOIN dims x ON x.vec_id = c.query_id
+  JOIN dims y ON y.vec_id = c.neighbor_id AND y.d = x.d
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, cell, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM dotted
+) WHERE rnk <= 5 ORDER BY query_id, rnk
 """

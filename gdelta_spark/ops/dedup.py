@@ -219,3 +219,70 @@ SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_fp
 FROM documents JOIN fps USING (doc_id)
 GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup buckets
+
+SIMHASH_BITS = 16
+_EVEN_HEX = tuple("02468ace")
+
+
+def simhash_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(simhash, n_docs, min_doc) — SIMHASH_BITS-bit SimHash buckets over
+    document words, top buckets by population.
+
+    SimHash bit i = sign of sum over word instances of (+1 if bit i of
+    md5(word) set else -1) — near-identical documents land on the same
+    integer, so the group-by IS the near-dup clustering (no pair join at
+    all, the cheapest of the dedup family). Two shuffles total: word sums
+    by doc_id, then bucket counts by simhash — both map-side combined.
+    Bit i comes from the parity class of hex digit i of md5(word), the
+    same md5-derived ±1 trick as the ANN hyperplanes (ops/ann.py), so a
+    SQL oracle reproduces it exactly.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    h = F.md5("word")
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(h, i + 1, 1).isin(*_EVEN_HEX), 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(SIMHASH_BITS)),
+        F.lit(0),
+    ).cast("long")
+    return (
+        sums.select("doc_id", sig.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy(F.desc("n_docs"), F.asc("simhash"))
+        .limit(25)
+    )
+
+
+_EVEN_SQL = ", ".join(f"'{c}'" for c in _EVEN_HEX)
+_SUMS_SQL = ", ".join(
+    f"SUM(CASE WHEN substr(h, {i + 1}, 1) IN ({_EVEN_SQL}) THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIG_SQL = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+)
+
+SIMHASH_TEXT_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, md5(word) AS h FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  )
+),
+sums AS (SELECT doc_id, {_SUMS_SQL} FROM words GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SIG_SQL} AS BIGINT) AS simhash FROM sums)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM sig GROUP BY simhash
+ORDER BY n_docs DESC, simhash LIMIT 25
+"""

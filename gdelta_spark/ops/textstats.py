@@ -96,3 +96,65 @@ pred AS (
 SELECT lang, predicted, COUNT(*) AS n_docs
 FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-signal counts (the integer numerators/denominators of the usual
+# length / stopword / lexical-diversity quality ratios — kept as counts so
+# the oracle comparison is exact; the ratio is a trivial downstream divide)
+
+STOPWORDS = ("a", "and", "in", "is", "of", "the", "to")  # sorted
+_SHORT_LEN = 3
+
+
+def quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, n_stop, n_short, n_distinct) per source:
+    whitespace tokens, stopword-list hits, short tokens (len <= 3), and the
+    summed per-doc distinct-word counts (lexical-diversity numerator).
+
+    Shapes: three of the four are per-row expressions folded by one hash
+    aggregate; n_distinct needs a (doc_id, word) distinct first — an
+    explode + two map-side-combined aggregations, no joins, no windows."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split("text", " ")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_list})))")
+    n_short = F.expr(f"size(filter(split(text, ' '), w -> length(w) <= {_SHORT_LEN}))")
+    base = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(words).cast("long")).alias("n_tokens"),
+        F.sum(n_stop.cast("long")).alias("n_stop"),
+        F.sum(n_short.cast("long")).alias("n_short"),
+    )
+    per_doc = (
+        d.select("source", "doc_id", F.explode(words).alias("word"))
+        .groupBy("source", "doc_id")
+        .agg(F.countDistinct("word").alias("nd"))
+        .groupBy("source")
+        .agg(F.sum("nd").alias("n_distinct"))
+    )
+    return base.join(per_doc, "source").orderBy("source")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+QUALITY_RATIOS_ORACLE = f"""
+WITH base AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_STOP_SQL})))) AS BIGINT) AS n_stop,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  w -> length(w) <= {_SHORT_LEN}))) AS BIGINT) AS n_short
+  FROM documents GROUP BY source
+),
+per_doc AS (
+  SELECT source, CAST(SUM(nd) AS BIGINT) AS n_distinct FROM (
+    SELECT source, doc_id, COUNT(DISTINCT word) AS nd FROM (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY source, doc_id
+  ) GROUP BY source
+)
+SELECT source, n_docs, n_tokens, n_stop, n_short, n_distinct
+FROM base JOIN per_doc USING (source) ORDER BY source
+"""
