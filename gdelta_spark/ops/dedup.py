@@ -54,9 +54,17 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _band_sigs(shingles: DataFrame) -> DataFrame:
     """(doc_id, band, sig) — per-band MinHash signature, exploded so the
-    band signature is a join key (LSH bucket)."""
+    band signature is a join key (LSH bucket).
+
+    All N_BANDS signatures derive from ONE md5 per shingle: band b takes
+    the min over disjoint 8-hex-char slice b of the digest. Each slice
+    induces a different ordering of the shingle universe (a different
+    permutation for MinHash purposes) at 1/N_BANDS of the hash compute —
+    the md5 over the exploded shingle set is the dominant cost of the
+    whole dedup family at scale."""
+    h = F.md5("shingle")
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#band{b}")))).alias(f"s{b}")
+        F.min(F.substring(h, 8 * b + 1, 8)).alias(f"s{b}")
         for b in range(N_BANDS)
     ]
     sigs = shingles.groupBy("doc_id").agg(*aggs)
@@ -165,7 +173,7 @@ shingles AS (
 )"""
 
 _BANDS_SQL = "\nUNION ALL\n".join(
-    f"SELECT doc_id, '{b}' AS band, MIN(md5(shingle || '#band{b}')) AS sig"
+    f"SELECT doc_id, '{b}' AS band, MIN(substr(md5(shingle), {8 * b + 1}, 8)) AS sig"
     " FROM shingles GROUP BY doc_id"
     for b in range(N_BANDS)
 )
