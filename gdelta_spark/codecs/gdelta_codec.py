@@ -336,46 +336,60 @@ def _gear_fingerprints(data: np.ndarray) -> np.ndarray:
     return out
 
 
+_LOW32 = np.uint64(0xFFFFFFFF)
+
+
 def _build_hash_table(
     base8: np.ndarray,
     beg_size: int,
     end_size: int,
     bit: int,
     base_fps: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> np.ndarray:
     """Single-slot hash table over the base interior: fingerprint top ``bit``
-    bits -> absolute base position. Sampling every 2nd window starting at
-    interior offset 2, last-writer-wins (gdelta.cpp:176-214).
+    bits -> packed u64 entry ``(abs_pos << 32) | (fp & 0xFFFFFFFF)``, 0 =
+    empty. Sampling every 2nd window starting at interior offset 2,
+    last-writer-wins (gdelta.cpp:176-214); positions are strictly
+    increasing and occupy the HIGH half, so one ``maximum.at`` is the
+    whole insert — no winner re-derivation, no second scatter, and the
+    table is rebuilt per (base, target) pair, which made that scatter the
+    single hottest line of the encoder.
 
-    Also returns a parallel table of the winners' FULL 64-bit fingerprints,
-    used as an exact-match prefilter so candidate verification never needs a
-    bulk 16-byte window gather.
+    The low fp bits are the candidate prefilter (together with the slot's
+    implicit top bits: ~47 effective bits). It is a *prefilter* only — the
+    exact 16-byte compare decides acceptance exactly as the reference's
+    memcmp does, so weakening it from the previous full-64-bit parallel
+    table cannot change emitted bytes, only add vanishingly rare extra
+    compares.
     """
-    table = np.zeros(1 << bit, dtype=np.uint32)
-    fp_table = np.zeros(1 << bit, dtype=np.uint64)
+    table = np.zeros(1 << bit, dtype=np.uint64)
     interior_len = base8.size - end_size - beg_size
     if interior_len < STRLOOK:
-        return table, fp_table
+        return table
     n_fps = interior_len - STRLOOK + 1
-    pos = np.arange(2, n_fps, STRLSTEP, dtype=np.int64)
-    if pos.size == 0:
-        return table, fp_table
+    if n_fps <= 2:
+        return table
     if base_fps is not None:
-        # fingerprints shared across rows of a group: slice the full-base
-        # precompute (fp of interior position p == fp of base position beg+p)
-        sampled = base_fps[pos + beg_size]
+        # fingerprints shared across rows of a group: a strided VIEW of the
+        # full-base precompute (fp of interior position p == fp of base
+        # position beg+p) — no index arange, no gather
+        sampled = base_fps[beg_size + 2 : beg_size + n_fps : STRLSTEP]
+        abs_start = beg_size + 2
     else:
         fps = _gear_fingerprints(base8[beg_size : base8.size - end_size])
-        sampled = fps[pos]
+        sampled = fps[2:n_fps:STRLSTEP]
+        abs_start = beg_size + 2
+    if sampled.size == 0:
+        return table
     # .view(int64) = zero-copy reinterpret; top-bits shift keeps values < 2^63
     idx = (sampled >> np.uint64(64 - bit)).view(np.int64)
-    vals = (pos + beg_size).astype(np.uint32)
-    # stored positions are strictly increasing, so max == last-writer-wins
-    np.maximum.at(table, idx, vals)
-    winners = table[idx] == vals  # exactly one True per distinct idx
-    np.copyto(fp_table, 0)
-    fp_table[idx[winners]] = sampled[winners]
-    return table, fp_table
+    packed = np.arange(
+        abs_start, abs_start + sampled.size * STRLSTEP, STRLSTEP, dtype=np.uint64
+    )
+    packed <<= np.uint64(32)
+    packed |= sampled & _LOW32
+    np.maximum.at(table, idx, packed)
+    return table
 
 
 def _first_mismatch(a: np.ndarray, b: np.ndarray, limit: int) -> int:
@@ -452,7 +466,7 @@ def gdelta_encode(new: bytes, base: bytes, base_fps: np.ndarray | None = None) -
 
     # hash table sizing: bit_length(interior + 10) (gdelta.cpp:321-328)
     bit = ((base_size - beg_size - end_size) + 10).bit_length()
-    table, fp_table = _build_hash_table(base8, beg_size, end_size, bit, base_fps)
+    table = _build_hash_table(base8, beg_size, end_size, bit, base_fps)
 
     n2 = new_size - end_size  # exclusive end of the scan region
     tgt = new8[beg_size:n2]
@@ -481,12 +495,12 @@ def gdelta_encode(new: bytes, base: bytes, base_fps: np.ndarray | None = None) -
         seg_end = min(s + SEG, last_pos + 1)
         fps = _gear_fingerprints(tgt[s : seg_end + STRLOOK - 1])
         idx = (fps >> shift).view(np.int64)
-        cand = table[idx]
-        ok = cand != 0
-        ok &= fp_table[idx] == fps
+        entry = table[idx]
+        ok = entry != 0
+        ok &= (entry & _LOW32) == (fps & _LOW32)
         rel = np.flatnonzero(ok)
         seg_pos = rel + s
-        seg_cand = cand[rel].astype(np.int64)
+        seg_cand = (entry[rel] >> np.uint64(32)).astype(np.int64)
 
     def next_match(p: int) -> tuple[int, int]:
         """First position q >= p whose candidate 16-byte window verifies
