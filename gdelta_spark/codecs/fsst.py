@@ -37,6 +37,10 @@ TRAIN_PAIRS = 1 << 18  # pair-counting sample per round
 def _greedy_nonoverlap(match: np.ndarray) -> np.ndarray:
     """Exact greedy left-to-right selection of non-overlapping width-2 matches:
     within each run of consecutive matching positions take every 2nd."""
+    if match.all():
+        # one run covering everything (common in round 1 on low-entropy
+        # streams): greedy takes exactly the even positions
+        return np.arange(0, match.size, 2, dtype=np.int64)
     idx = np.flatnonzero(match)
     if idx.size == 0:
         return idx
@@ -50,20 +54,28 @@ def _greedy_nonoverlap(match: np.ndarray) -> np.ndarray:
 
 def _train_and_parse(data: np.ndarray) -> tuple[list[bytes], np.ndarray]:
     """Run merge rounds; return (symbol expansions for merged codes in code
-    order, final work stream of values in [0,256+n_merged))."""
+    order, final work stream of values in [0,256+n_merged)).
+
+    Codes stay < 256 + 254 < 512, so a pair packs into 18 bits
+    (``a << 9 | b``) — pair keys are int32 and the selected-pair lookup is
+    ONE gather into a 2^18 LUT instead of a searchsorted per full-stream
+    element. The LUT is allocated once and only the <=96 touched slots are
+    reset per round. The selection and code assignment are identical to
+    the searchsorted formulation, so emitted blobs are byte-identical."""
     work = data.astype(np.int32)
     expansions: list[bytes] = []  # merged code i -> byte string
     exp_len = np.ones(256, dtype=np.int64)  # value -> expansion length
     next_code = 256
+    lut = np.full(1 << 18, -1, dtype=np.int32)  # pair key -> new code
 
     for budget in MERGES_PER_ROUND[:ROUNDS]:
         if work.size < 2:
             break
-        pairs = work[:-1].astype(np.int64) * 65536 + work[1:]
+        pairs = work[:-1] << 9 | work[1:]
         # train on a bounded sample (pair counting is the expensive step);
         # merges still apply to the full stream
         uniq, counts = np.unique(pairs[:TRAIN_PAIRS], return_counts=True)
-        lens = exp_len[uniq // 65536] + exp_len[uniq % 65536]
+        lens = exp_len[uniq >> 9] + exp_len[uniq & 511]
         ok = (counts >= MIN_COUNT) & (lens <= MAX_LEN)
         uniq, counts, lens = uniq[ok], counts[ok], lens[ok]
         if uniq.size == 0:
@@ -77,27 +89,28 @@ def _train_and_parse(data: np.ndarray) -> tuple[list[bytes], np.ndarray]:
             if n_new <= 0:
                 break
             sel = sel[:n_new]
-        # map each selected pair -> its new code
-        pos = np.searchsorted(sel, pairs)
-        pos[pos == sel.size] = 0
-        match = sel[np.minimum(pos, sel.size - 1)] == pairs
+        # map each selected pair -> its new code (rank order, as before)
+        lut[sel] = next_code + np.arange(sel.size, dtype=np.int32)
+        mapped = lut[pairs]
+        match = mapped >= 0
         taken = _greedy_nonoverlap(match)
+        lut[sel] = -1  # cheap reset: only touched slots
         if taken.size == 0:
             break
-        new_codes = next_code + np.searchsorted(sel, pairs[taken])
+        new_codes = mapped[taken]
         # record expansions
         def expand(v: int) -> bytes:
             return bytes([v]) if v < 256 else expansions[v - 256]
 
         for pv in sel.tolist():
-            expansions.append(expand(pv // 65536) + expand(pv % 65536))
+            expansions.append(expand(pv >> 9) + expand(pv & 511))
         exp_len = np.concatenate(
-            (exp_len, exp_len[sel // 65536] + exp_len[sel % 65536])
+            (exp_len, exp_len[sel >> 9] + exp_len[sel & 511])
         )
         keep = np.ones(work.size, dtype=bool)
         keep[taken + 1] = False
         out = work.copy()
-        out[taken] = new_codes.astype(np.int32)
+        out[taken] = new_codes
         work = out[keep]
         next_code += sel.size
 
