@@ -190,8 +190,12 @@ def main() -> None:
 
     # kernel-level scaling: the encode compute in a process pool (isolates
     # the engine from Spark fixed stage costs; mirrors executor scale-out);
-    # capped input so it never eats the Spark-level budget
-    k_reps = 2 if time.time() < deadline - 300 else 1
+    # capped input so it never eats the Spark-level budget. The 4N level is
+    # the one the host's neighbor load can depress (it needs 4 continuously
+    # free cores), so spend any budget headroom on extra interleaved reps —
+    # per-level minima converge toward the unloaded truth.
+    headroom = deadline - time.time()
+    k_reps = 3 if headroom > 450 else (2 if headroom > 300 else 1)
     kern = _kernel_scaling(corpus, n_small, k_reps)
 
     result = {

@@ -97,6 +97,12 @@ def _roundtrip_one(gi: int) -> tuple[int, int]:
     return sum(len(r) for r in rows), len(blob)
 
 
+def _warm(_: int) -> int:
+    from gdelta_spark import blocks  # noqa: F401
+
+    return 0
+
+
 def run_level(groups, procs: int, roundtrip: bool = False) -> dict:
     fn = _roundtrip_one if roundtrip else _encode_one
     # fork + module global: children inherit the groups copy-on-write;
@@ -104,8 +110,14 @@ def run_level(groups, procs: int, roundtrip: bool = False) -> dict:
     # that IPC dominated small runs and corrupted the efficiency number)
     _init(groups)
     with mp.Pool(procs) as pool:
+        # absorb per-worker import cost before the clock (steady-state
+        # throughput is what the N-vs-4N criterion compares)
+        pool.map(_warm, range(procs * 2))
         t0 = time.time()
-        res = pool.map(fn, range(len(groups)))
+        # chunksize=1 = dynamic scheduling: per-group cost varies ~20x by
+        # regime, and a pre-chunked tail straggler at the higher level
+        # reads as (fake) lost scaling efficiency
+        res = pool.map(fn, range(len(groups)), chunksize=1)
         wall = time.time() - t0
     raw = sum(r for r, _ in res)
     enc = sum(e for _, e in res)
