@@ -64,12 +64,22 @@ def gdelta_rows_payload(
 def gdelta_rows_decode(payload: bytes, base: bytes) -> list[np.ndarray]:
     import struct
 
+    from gdelta_spark.codecs.gdelta_codec import gdelta_decode_batch
     from gdelta_spark.codecs.light import _unpack_for
 
     if base is None:
         raise ValueError("gdelta block codec requires a base chunk")
     (n_rows,) = struct.unpack_from("<I", payload, 0)
     lens, pos = _unpack_for(payload, 4)
+    if n_rows >= 8:
+        # one vectorized parse + assembly across the whole block: the row
+        # deltas are contiguous in the payload, which is exactly the batch
+        # decoder's input shape
+        spans = []
+        for ln in lens.tolist():
+            spans.append((pos, ln))
+            pos += ln
+        return [bytes_to_tokens(b) for b in gdelta_decode_batch(payload, spans, base)]
     out = []
     for ln in lens.tolist():
         out.append(bytes_to_tokens(gdelta_decode(payload[pos : pos + ln], base)))

@@ -166,7 +166,20 @@ def parse_units_arrays(
     s = np.frombuffer(delta, np.uint8, count=inst_len, offset=pos)
     if s[-1] & 1:  # stream must end at a terminator; fall back if malformed
         return _parse_units_scalar(delta, pos, inst_end)
+    flags, lengths, offsets, _ = _parse_stream(s)
+    return flags, lengths, offsets, inst_end
 
+
+def _parse_stream(
+    s: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized unit parse of a raw instruction stream (see
+    ``parse_units_arrays`` for the algorithm); additionally returns each
+    unit's head byte position within ``s`` — the hook that lets the batch
+    decoder parse MANY rows' streams concatenated into one array (each
+    stream ends at a terminator, and a 0x00 separator byte between streams
+    re-parses as a zero-length phantom unit whose a==0 head also resets the
+    continuation-parity run, so per-row streams cannot alias)."""
     term = np.flatnonzero((s & 1) == 0).astype(np.int64)
     n_seg = term.size
     seg_start = np.empty(n_seg, np.int64)
@@ -214,7 +227,7 @@ def parse_units_arrays(
         flags.astype(np.int64),
         lengths.astype(np.int64),
         offsets.astype(np.int64),
-        inst_end,
+        seg_start[head_seg],
     )
 
 
@@ -268,6 +281,24 @@ def gdelta_decode(delta: bytes, base: bytes) -> bytes:
         np.cumsum(ins_lens[:-1], out=starts[1:])
         starts[1:] += data_pos
         ins_start[ins] = starts
+    n_out = int(lengths.sum())
+    if lengths.size >= 64 and n_out < 128 * lengths.size:
+        # short-unit streams (literal-heavy deltas): per-unit Python slicing
+        # costs ~80ns/unit while units average <128 B — assemble instead via
+        # one gather over a combined (base ++ delta) address space, with the
+        # per-position source index built by the jump-cumsum trick (all O(N)
+        # array passes, no per-unit loop). Long units stay on the slice path
+        # below, where memcpy beats a byte gather.
+        base8 = np.frombuffer(base, np.uint8)
+        combined = np.concatenate((base8, np.frombuffer(delta, np.uint8)))
+        src = np.where(flags == 1, offsets, ins_start + base8.size)
+        out_starts = np.cumsum(lengths) - lengths
+        idx = np.ones(n_out, np.int64)
+        idx[0] = src[0]
+        if lengths.size > 1:
+            idx[out_starts[1:]] = src[1:] - (src[:-1] + lengths[:-1] - 1)
+        np.cumsum(idx, out=idx)
+        return combined[idx].tobytes()
     parts = []
     for flag, length, offset, ds in zip(
         flags.tolist(), lengths.tolist(), offsets.tolist(), ins_start.tolist()
@@ -277,6 +308,102 @@ def gdelta_decode(delta: bytes, base: bytes) -> bytes:
         else:
             parts.append(delta[ds : ds + length])
     return b"".join(parts)
+
+
+def gdelta_decode_batch(
+    payload: bytes, spans: list[tuple[int, int]], base: bytes
+) -> list[bytes]:
+    """Decode MANY row deltas stored contiguously in ``payload`` with one
+    vectorized parse and one assembly pass — the block-level form of
+    ``gdelta_decode`` (SURVEY §2.1 row 2). Per-row decode pays a fixed
+    ~80us of numpy dispatch per row; a texty block of 500 small deltas pays
+    it 500 times. Here all rows' instruction streams concatenate into one
+    array (0x00 separators re-parse as zero-length phantom units whose
+    a==0 head resets the continuation-parity run — see ``_parse_stream``),
+    so the classification/varint passes amortize across the block.
+
+    Falls back to per-row ``gdelta_decode`` on any irregular row (empty or
+    unterminated stream) — identical output either way, enforced by the
+    equality tests."""
+    n = len(spans)
+    if n == 0:
+        return []
+    # dispatch on a header SAMPLE: sparse streams (few long units per row —
+    # near-dup/raw-ish rows) decode memcpy-bound in the scalar per-row loop
+    # and would only pay the batch machinery's fixed numpy costs; blocks are
+    # cluster-homogeneous, so 16 headers predict the rest
+    probe = 0
+    for st, _ in spans[:16]:
+        probe += read_varint(payload, st)[0]
+    if probe < 64 * min(n, 16):
+        return [gdelta_decode(payload[st : st + ln], base) for st, ln in spans]
+    inst_start = np.empty(n, np.int64)
+    inst_lens = np.empty(n, np.int64)
+    for r, (st, ln) in enumerate(spans):
+        il, pos = read_varint(payload, st)
+        if il == 0 or il > ln or payload[pos + il - 1] & 1:
+            return [gdelta_decode(payload[st : st + ln], base) for st, ln in spans]
+        inst_start[r] = pos
+        inst_lens[r] = il
+    p8 = np.frombuffer(payload, np.uint8)
+    base8 = np.frombuffer(base, np.uint8)
+
+    sep = np.zeros(1, np.uint8)
+    pieces: list[np.ndarray] = []
+    s_row_start = np.empty(n, np.int64)
+    off = 0
+    for r in range(n):
+        s_row_start[r] = off
+        pieces.append(p8[inst_start[r] : inst_start[r] + inst_lens[r]])
+        pieces.append(sep)
+        off += inst_lens[r] + 1
+    flags, lengths, offsets, head_pos = _parse_stream(np.concatenate(pieces))
+    row_id = np.searchsorted(s_row_start, head_pos, side="right") - 1
+
+    # insert units consume their OWN row's literal data region, which starts
+    # at inst_end within that row's span of the parent payload
+    data_pos = inst_start + inst_lens
+    ins = flags == 0
+    ins_len = np.where(ins, lengths, 0)
+    p_excl = np.cumsum(ins_len) - ins_len  # exclusive global insert prefix
+    first_unit = np.searchsorted(row_id, np.arange(n), side="left")
+    first_unit = np.minimum(first_unit, max(row_id.size - 1, 0))
+    ins_abs = data_pos[row_id] + (p_excl - p_excl[first_unit][row_id])
+
+    keep = lengths > 0  # drops separator phantoms and real phantom units
+    fl = flags[keep]
+    ln = lengths[keep]
+    src = np.where(fl == 1, offsets[keep], base8.size + ins_abs[keep])
+    rid = row_id[keep]
+    row_out = np.zeros(n, np.int64)
+    np.add.at(row_out, rid, ln)
+
+    n_out = int(ln.sum())
+    bounds = np.concatenate(([0], np.cumsum(row_out)))
+    if ln.size == 0:
+        return [b""] * n
+    if n_out < 128 * ln.size:
+        # short units: one jump-cumsum gather over (base ++ payload)
+        combined = np.concatenate((base8, p8))
+        out_starts = np.cumsum(ln) - ln
+        idx = np.ones(n_out, np.int64)
+        idx[0] = src[0]
+        if ln.size > 1:
+            idx[out_starts[1:]] = src[1:] - (src[:-1] + ln[:-1] - 1)
+        np.cumsum(idx, out=idx)
+        big = combined[idx]
+        return [big[bounds[r] : bounds[r + 1]].tobytes() for r in range(n)]
+    # long units: slice-level memcpy beats a byte gather; the batched parse
+    # is still amortized
+    parts: list[list[bytes]] = [[] for _ in range(n)]
+    bsz = base8.size
+    for r, f, l_, s_ in zip(rid.tolist(), fl.tolist(), ln.tolist(), src.tolist()):
+        if f:
+            parts[r].append(base[s_ : s_ + l_])
+        else:
+            d = s_ - bsz
+            parts[r].append(payload[d : d + l_])
+    return [b"".join(p) for p in parts]
 
 
 # ---------------------------------------------------------------------------
