@@ -391,6 +391,67 @@ def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_embed_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import ann
+
+    return ann.embed_neardup_keep(spark, sf_dir)
+
+
+def _q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation through Structured Streaming: the
+    events table arrives as two file-source micro-batch waves (the second
+    wave is the LATE half — it exercises the watermark path), a 30-minute
+    watermark bounds state, and 1-hour tumbling windows count events per
+    type. Complete output mode makes the final memory-sink table equal the
+    batch answer, so the DuckDB oracle is the equivalent date_trunc
+    aggregation — a hash-checked streaming query, not a rows-only one."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="gdelta_stream_win_")
+    sink = f"win_{uuid.uuid4().hex[:8]}"
+    try:
+        inbox = f"{tmp}/inbox"
+        # wave 1: on-time half; wave 2: everything else, arriving late
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(inbox)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(inbox)
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(sink)
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("wstart"),
+                "event_type",
+                "n_events",
+            )
+            .orderBy("wstart", "event_type")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: auto-codec encode + verified decode on sf0.001."""
     return _q_compression_summary(spark, "/root/testdata/sf0.001")
@@ -420,8 +481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_best_pairs": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "embed_neardup_keep": _q_embed_neardup_keep,
         "simhash_text": _q_simhash_text,
         "quality_ratios": _q_quality_ratios,
+        "streaming_window_stats": _q_streaming_window_stats,
         "neardup_pairs": _q_neardup_pairs,
         "neardup_keep": _q_neardup_keep,
         "dedup_keep": _q_dedup_keep,
@@ -546,8 +609,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ops_ann().ANN_TOPK_ORACLE,
         "ann_lsh_best_pairs": _ops_ann().ANN_LSH_ORACLE,
         "ann_ivf": _ops_ann().ANN_IVF_ORACLE,
+        "embed_neardup_keep": _ops_ann().EMBED_NEARDUP_ORACLE,
         "simhash_text": _ops_dedup().SIMHASH_TEXT_ORACLE,
         "quality_ratios": _ops_text().QUALITY_RATIOS_ORACLE,
+        "streaming_window_stats": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, "
+            "event_type, COUNT(*) AS n_events FROM events "
+            "GROUP BY 1, 2 ORDER BY wstart, event_type"
+        ),
         "neardup_pairs": _ops_dedup().NEARDUP_PAIRS_ORACLE,
         "neardup_keep": _ops_dedup().NEARDUP_KEEP_ORACLE,
         "dedup_keep": _ops_dedup().DEDUP_KEEP_ORACLE,

@@ -205,6 +205,53 @@ def ann_ivf_topk(
     )
 
 
+QUANT_COS = 100  # coarser fixed point so the integer cosine test can't overflow
+COS_NUM, COS_DEN = 81, 100  # cos^2 >= 0.81, i.e. cosine >= 0.9
+
+
+def embed_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup materialization: vectors in the same SimHash
+    bucket whose exact cosine is >= 0.9 are duplicates; the higher vec_id of
+    every verified pair is dropped; reports per-label kept/total counts.
+
+    The cosine test is INTEGER-exact (so a SQL oracle reproduces it bit for
+    bit): with q = floor(x * 100), cosine >= 0.9 iff dot > 0 and
+    100*dot^2 >= 81*|a|^2*|b|^2 — at 64 dims and |q| <= 100 every
+    intermediate fits int64 with >100x headroom. Candidates come from the
+    same hyperplane buckets as ``ann_lsh_best_pairs`` (group-by keys, never
+    an all-pairs join); the exact test then plays the reference's
+    verify-after-bucket role (gdelta.cpp:388-393)."""
+    sig = simhash_buckets(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * F.lit(QUANT_COS)).cast("long")
+    )
+    v = e.select("vec_id", "label", q.alias("q")).join(sig, "vec_id")
+    a, b = v.alias("a"), v.alias("b")
+    dot = _dot(F.col("a.q"), F.col("b.q"))
+    na = _dot(F.col("a.q"), F.col("a.q"))
+    nb = _dot(F.col("b.q"), F.col("b.q"))
+    drops = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter((dot > 0) & (dot * dot * COS_DEN >= na * nb * COS_NUM))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    base = e.select("vec_id", "label")
+    kept = base.join(drops, "vec_id", "left_anti")
+    total = base.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    keptc = kept.groupBy("label").agg(F.count("*").alias("n_kept"))
+    return (
+        total.join(keptc, "label", "left")
+        .select("label", "n_vecs", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same integer arithmetic, same tie-breaks)
 
@@ -304,4 +351,36 @@ SELECT query_id, cell, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
                                ORDER BY dot DESC, neighbor_id) AS rnk
   FROM dotted
 ) WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+EMBED_NEARDUP_ORACLE = f"""
+WITH {_SIG_CTES},
+dims2 AS (
+  SELECT vec_id, CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_COS}) AS BIGINT) AS qx, d - 1 AS d
+  FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d
+    FROM embeddings
+  )
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT va, vb FROM (
+    SELECT p.va, p.vb,
+           CAST(SUM(x.qx * y.qx) AS BIGINT) AS dot,
+           CAST(SUM(x.qx * x.qx) AS BIGINT) AS na,
+           CAST(SUM(y.qx * y.qx) AS BIGINT) AS nb
+    FROM pairs p
+    JOIN dims2 x ON x.vec_id = p.va
+    JOIN dims2 y ON y.vec_id = p.vb AND y.d = x.d
+    GROUP BY 1, 2
+  ) WHERE dot > 0 AND dot * dot * {COS_DEN} >= na * nb * {COS_NUM}
+),
+drops AS (SELECT DISTINCT vb AS vec_id FROM verified)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN drops.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM embeddings LEFT JOIN drops USING (vec_id)
+GROUP BY label ORDER BY label
 """

@@ -103,6 +103,49 @@ def _warm(_: int) -> int:
     return 0
 
 
+def _cpu_control(_: int) -> float:
+    """Cache-resident compute: measures how well this box scales work that
+    does NOT touch main memory."""
+    import numpy as np
+
+    x = np.arange(200_000, dtype=np.float64)
+    for _ in range(60):
+        x = np.sqrt(x * 1.0001 + 1.0)
+    return float(x[0])
+
+
+def _mem_control(_: int) -> int:
+    """Streaming-bandwidth probe: 384MB of main-memory traffic."""
+    import numpy as np
+
+    a = np.empty(16_000_000, dtype=np.uint64)
+    a[:] = 1
+    s = 0
+    for _ in range(3):
+        s += int((a >> np.uint64(1)).sum())
+    return s
+
+
+def box_calibration(n: int) -> dict:
+    """Same 1-vs-4N protocol on two synthetic workloads, bracketing what the
+    box ITSELF can scale: anything the encode kernel loses beyond the cpu
+    control is this machine's shared memory-bandwidth ceiling (a VM
+    property), not the engine's plan. Measured here so every recorded
+    artifact carries its own calibration."""
+    out = {}
+    for name, fn, tasks in (("cpu", _cpu_control, 4 * n * 4), ("mem", _mem_control, 4 * n * 2)):
+        res: dict[int, float] = {}
+        for procs in (n, 4 * n, n, 4 * n):
+            with mp.Pool(procs) as p:
+                p.map(_warm, range(procs))
+                t0 = time.time()
+                p.map(fn, range(tasks), chunksize=1)
+                w = time.time() - t0
+            res[procs] = min(res.get(procs, 9e9), w)
+        out[f"{name}_control_eff"] = round(res[n] / (4 * res[4 * n]), 3)
+    return out
+
+
 def run_level(groups, procs: int, roundtrip: bool = False) -> dict:
     fn = _roundtrip_one if roundtrip else _encode_one
     # fork + module global: children inherit the groups copy-on-write;
@@ -154,6 +197,10 @@ def main() -> None:
         "big": big,
         "efficiency": big["gbps"] / (4 * small["gbps"]),
         "roundtrip_big": rt,  # encode+decode+verify at the big level
+        # what THIS box can scale, same protocol: cpu ~0.9 = scheduling is
+        # fine; mem ~0.1 = a hard shared-bandwidth wall (firecracker VM).
+        # The kernel sits between the two brackets by its compute:traffic mix.
+        "box": box_calibration(args.n),
     }))
 
 
