@@ -448,7 +448,10 @@ def _gear_fingerprints(data: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     out = np.empty(m, dtype=np.uint64)
     # chunked so the uint64 intermediates stay cache-resident (the 8x byte->u64
-    # widening makes a whole-array pass memory-bound at ~10x lower throughput)
+    # widening makes a whole-array pass memory-bound at ~10x lower throughput);
+    # 256K measured best on the real encode path (interleaved A/B vs 64K);
+    # smaller chunks only win on multi-MB single calls, which the lazy
+    # per-segment probing never issues
     chunk = 1 << 18
     for lo in range(0, m, chunk):
         hi_end = min(lo + chunk, m) + STRLOOK - 1
