@@ -124,3 +124,44 @@ def test_int32_token_buffers():
     delta = gdelta_encode(target, base)
     assert gdelta_decode(delta, base) == target
     assert len(delta) < len(target) // 50  # near-dup must compress hard
+
+
+def test_batch_decode_equals_per_row():
+    """gdelta_decode_batch over contiguous deltas == per-row gdelta_decode,
+    across regimes (dense/sparse streams, phantom units, irregular rows)."""
+    from gdelta_spark.codecs.gdelta_codec import gdelta_decode_batch
+
+    for base_kind in ("texty", "near-dup", "random"):
+        if base_kind == "texty":
+            base = b"the quick brown fox " * 800
+            rows = [
+                _mutate(b"the quick brown fox " * int(rng.integers(400, 900)), 5)
+                for _ in range(40)
+            ]
+        elif base_kind == "near-dup":
+            base = _rand_bytes(30000)
+            rows = [_mutate(base, int(rng.integers(1, 12))) for _ in range(40)]
+        else:
+            base = _rand_bytes(5000)
+            rows = [_rand_bytes(int(rng.integers(0, 9000))) for _ in range(40)]
+        deltas = [gdelta_encode(r, base) for r in rows]
+        payload = b"".join(deltas)
+        spans = []
+        pos = 0
+        for d in deltas:
+            spans.append((pos, len(d)))
+            pos += len(d)
+        got = gdelta_decode_batch(payload, spans, base)
+        assert len(got) == len(rows)
+        for g, r, d in zip(got, rows, deltas):
+            assert g == gdelta_decode(d, base) == r, base_kind
+
+
+def test_batch_decode_empty_and_single():
+    from gdelta_spark.codecs.gdelta_codec import gdelta_decode_batch
+
+    assert gdelta_decode_batch(b"", [], b"abc") == []
+    base = _rand_bytes(2000)
+    tgt = _mutate(base, 3)
+    d = gdelta_encode(tgt, base)
+    assert gdelta_decode_batch(d, [(0, len(d))], base) == [tgt]
