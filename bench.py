@@ -45,8 +45,12 @@ HEADLINE = [
     "dedup_exact",
     "ann_topk",
     "ann_lsh_best_pairs",
+    "ann_ivf",
     "neardup_pairs",
     "dedup_keep",
+    "simhash_text",
+    "embed_neardup_keep",
+    "quality_ratios",
 ]
 
 

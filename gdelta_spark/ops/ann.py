@@ -182,7 +182,15 @@ def ann_ivf_topk(
     is never shuffled. Recall < 1.0 by construction (a neighbor can live in
     an adjacent cell) — ``ann_topk`` is the exactness baseline; the oracle
     reproduces the same nprobe=1 semantics, so this checks the *algorithm*,
-    not closed-world recall."""
+    not closed-world recall.
+
+    Plan note: the query side below re-derives ``ivf_assign`` rather than
+    caching it, deliberately — the ``vec_id < n_queries`` filter pushes
+    through the aggregate (vec_id is the grouping key) all the way to the
+    parquet scan (verified: ``PushedFilters: LessThan(vec_id,10)``), so the
+    "second" assignment reads only the n_queries rows. Caching the corpus
+    assignment would pin |corpus| embeddings in executor memory for no
+    saved work."""
     cells = ivf_assign(spark, sf_dir)
     qs = cells.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "cell", F.col("q").alias("qq")

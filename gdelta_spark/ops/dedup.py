@@ -250,12 +250,17 @@ def simhash_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle reproduces it exactly.
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    h = F.md5("word")
+    # materialize md5 ONCE per word in its own projection: common-subexpression
+    # elimination does not span the 16 aggregate expressions, so inlining
+    # F.md5 into each bit's F.when would hash every word 16 times (explode must
+    # be top-level in its select, hence the two-step)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).select(
+        "doc_id", F.md5("word").alias("h")
+    )
     sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.substring(h, i + 1, 1).isin(*_EVEN_HEX), 1).otherwise(-1)
+                F.when(F.substring("h", i + 1, 1).isin(*_EVEN_HEX), 1).otherwise(-1)
             ).alias(f"s{i}")
             for i in range(SIMHASH_BITS)
         ]
