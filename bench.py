@@ -94,7 +94,12 @@ def _scaling_run(input_path: str, cores: int) -> dict:
             str(REPO / "jobs" / "encode_bench.py"),
             "--input", input_path,
             "--cores", str(cores),
-            "--group-mb", "8",
+            # 4 MB groups: interleaved A/B vs 8 MB (2 reps, per-level minima)
+            # measured eff 0.946 vs 0.966 on a quiet box, but the 4N wall is
+            # far less load-sensitive with the finer straggler tail (31-39 s
+            # spread vs 33-51 s) — the recorded artifact survives a noisy
+            # driver run better
+            "--group-mb", "4",
         ],
         capture_output=True, text=True, check=True,
     )
