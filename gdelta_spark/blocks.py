@@ -36,8 +36,18 @@ def encode_block_rows(
     expands beyond raw, re-encode raw (the reference lacks this guard and can
     emit delta > input, /root/reference/gdelta.cpp:216-531 — see SURVEY §2.1)."""
     arrays = [np.ascontiguousarray(a, dtype=np.int32) for a in token_arrays]
-    values = np.concatenate(arrays) if arrays else np.empty(0, dtype=np.int32)
     lens = np.array([a.size for a in arrays], dtype=np.int64)
+    n_bytes = int(lens.sum()) * 4
+    # the concatenated vector is only needed by non-delta codec kernels and
+    # the (rare) raw fallback; gdelta blocks encode row-wise, so skipping the
+    # concat here removes a full memcpy of every delta-regime byte
+    values: np.ndarray | None = None
+
+    def _values() -> np.ndarray:
+        nonlocal values
+        if values is None:
+            values = np.concatenate(arrays) if arrays else np.empty(0, dtype=np.int32)
+        return values
 
     if codec_id is None:
         # the similarity probe must not include the base row itself: a
@@ -52,7 +62,7 @@ def encode_block_rows(
             probe = arrays[1:4]
         else:
             probe = arrays[:3]
-        codec_id, _ = chooser.choose_codec(values, probe, base)
+        codec_id, _ = chooser.choose_codec(_values(), probe, base)
 
     if codec_id == core.GDELTA:
         from gdelta_spark.codecs import delta
@@ -60,9 +70,9 @@ def encode_block_rows(
         payload = bytes([core.MAGIC, core.VERSION, core.GDELTA])
         payload += delta.gdelta_rows_payload(arrays, base, rows_bytes=rows_bytes)
     else:
-        payload = core.encode_block(values, codec_id)
-    if codec_id != core.RAW and len(payload) >= values.nbytes + 8:
-        raw_payload = core.encode_block(values, core.RAW)
+        payload = core.encode_block(_values(), codec_id)
+    if codec_id != core.RAW and len(payload) >= n_bytes + 8:
+        raw_payload = core.encode_block(_values(), core.RAW)
         if len(raw_payload) < len(payload):
             payload, codec_id = raw_payload, core.RAW
 
