@@ -452,6 +452,76 @@ def _q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState): documents
+    arrive as two file-source waves — wave 1 replays every doc_id % 5 == 0
+    text under a new doc_id (cross-batch duplicates that must be suppressed
+    by state) plus genuinely new texts (doc_id % 7 == 3, suffixed) that must
+    still be emitted. Survivor per fingerprint = min-(wave, doc_id) row, so
+    the emitted set is deterministic and the DuckDB oracle is the equivalent
+    batch window (hash-checked, not rows-only)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from gdelta_spark.pipeline.streaming import first_seen_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    wave0 = d.select("doc_id", "text", F.lit(0).alias("wave"))
+    wave1 = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", F.lit(1).alias("wave")
+        )
+        .union(
+            d.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat("text", F.lit(" w1")).alias("text"),
+                F.lit(1).alias("wave"),
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="gdelta_stream_dedup_")
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        inbox = f"{tmp}/inbox"
+        wave0.coalesce(1).write.mode("append").parquet(inbox)
+        wave1.coalesce(1).write.mode("append").parquet(inbox)
+        # the file source orders the backlog by modification time; pin wave 0
+        # strictly earlier so "first seen" matches the oracle's wave order
+        now = _time.time()
+        for name in os.listdir(inbox):
+            if name.endswith(".parquet"):
+                path = os.path.join(inbox, name)
+                first = spark.read.parquet(path).agg(F.min("wave")).collect()[0][0]
+                os.utime(path, (now - 60 + 30 * int(first),) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, wave int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        keyed = stream.select(F.md5("text").alias("fp"), "doc_id", "wave")
+        q = (
+            first_seen_dedup(keyed)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(sink)
+            .select("fp", "doc_id", "wave")
+            .orderBy("fp")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: auto-codec encode + verified decode on sf0.001."""
     return _q_compression_summary(spark, "/root/testdata/sf0.001")
@@ -493,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": _q_lang_confusion,
         "multimodal_stats": _q_multimodal_stats,
         "streaming_ingest": _q_streaming_ingest,
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -624,6 +695,20 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _ops_text().TOKEN_COUNTS_ORACLE,
         "lang_confusion": _ops_text().LANG_CONFUSION_ORACLE,
         "multimodal_stats": _ops_multimodal().MULTIMODAL_STATS_ORACLE,
+        "streaming_dedup": (
+            "WITH waved AS ("
+            "  SELECT doc_id, text, 0 AS wave FROM documents"
+            "  UNION ALL"
+            "  SELECT doc_id + 1000000, text, 1 FROM documents WHERE doc_id % 5 = 0"
+            "  UNION ALL"
+            "  SELECT doc_id + 2000000, text || ' w1', 1 FROM documents"
+            "  WHERE doc_id % 7 = 3"
+            "), ranked AS ("
+            "  SELECT md5(text) AS fp, doc_id, wave, row_number() OVER ("
+            "    PARTITION BY md5(text) ORDER BY wave, doc_id) AS rn FROM waved"
+            ") SELECT fp, doc_id, CAST(wave AS INT) AS wave "
+            "FROM ranked WHERE rn = 1 ORDER BY fp"
+        ),
         # compression_summary / fixture_regimes / streaming_ingest: real
         # encoder + streaming runs — not SQL-expressible; the driver records
         # rows-only checks for them.

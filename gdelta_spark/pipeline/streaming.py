@@ -59,3 +59,50 @@ def incremental_encode(
         q = writer.start()
     q._gdelta_summaries = summaries  # introspection for tests/jobs
     return q
+
+
+def first_seen_dedup(stream_df, key_col: str = "fp"):
+    """Stateful streaming exact-dedup: per content fingerprint, emit ONE
+    surviving row — the min-(wave, doc_id) row of the first micro-batch the
+    key appears in — and suppress every later duplicate across batches.
+
+    The custom stateful operator the reference's batch-only surface lacks:
+    ``applyInPandasWithState`` keyed by the fingerprint keeps one tiny state
+    record (rows seen) per distinct document. State shards with the group-by
+    key across executors (RocksDB state store in production), so memory per
+    executor is |distinct keys|/|executors| — the only shape that survives a
+    continuously-ingesting 100 TB corpus. Dedup decisions inside a batch are
+    order-free (min over (wave, doc_id)), so the emitted set is deterministic
+    for any batching that respects wave arrival order.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        best = None
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cand = pdf.sort_values(["wave", "doc_id"]).iloc[0]
+            if best is None or (cand["wave"], cand["doc_id"]) < (
+                best["wave"],
+                best["doc_id"],
+            ):
+                best = cand
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            return iter(())  # duplicate of an already-emitted key
+        state.update((n,))
+        yield pd.DataFrame(
+            [{"fp": key[0], "doc_id": int(best["doc_id"]), "wave": int(best["wave"])}]
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="fp string, doc_id long, wave int",
+        stateStructType="n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

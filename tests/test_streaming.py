@@ -53,3 +53,63 @@ def test_incremental_encode(spark, tmp_path):
     report = decode_mod.verify_roundtrip(all_tokens, blocks_df)
     assert report.filter(~F.col("ok")).count() == 0
     assert report.count() == all_tokens.count()
+
+
+def test_first_seen_dedup_state(spark, tmp_path):
+    """Cross-batch duplicates are suppressed by state; within-batch survivor
+    is the min-(wave, doc_id) row; new keys in later waves still emit."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from gdelta_spark.pipeline.streaming import first_seen_dedup
+
+    inbox = str(tmp_path / "inbox")
+    w0 = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["aa", "bb", "cc", "aa"], "wave": 0}
+    )
+    # 10-13 duplicate wave-0 texts (suppress); 14 is new (emit)
+    w1 = pd.DataFrame(
+        {"doc_id": [10, 11, 12, 14], "text": ["aa", "bb", "cc", "dd"], "wave": 1}
+    )
+    spark.createDataFrame(w0).coalesce(1).write.mode("append").parquet(inbox)
+    spark.createDataFrame(w1).coalesce(1).write.mode("append").parquet(inbox)
+    now = _time.time()
+    for name in os.listdir(inbox):
+        if name.endswith(".parquet"):
+            p = os.path.join(inbox, name)
+            import pyarrow.parquet as pq
+
+            first = pq.read_table(p, columns=["wave"]).column("wave")[0].as_py()
+            os.utime(p, (now - 60 + 30 * first,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, wave long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    import pyspark.sql.functions as F
+
+    out = first_seen_dedup(stream.select(F.md5("text").alias("fp"), "doc_id", "wave"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["fp"][:4]: (r["doc_id"], r["wave"])
+        for r in spark.table("dedup_test").collect()
+    }
+    import hashlib
+
+    fp = lambda t: hashlib.md5(t.encode()).hexdigest()[:4]
+    assert got == {
+        fp("aa"): (1, 0),  # min doc_id of the duplicated wave-0 pair
+        fp("bb"): (2, 0),
+        fp("cc"): (3, 0),
+        fp("dd"): (14, 1),  # wave-1-only key still emits
+    }
