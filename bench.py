@@ -94,23 +94,34 @@ def _gen_corpus(path: str) -> None:
 
 
 def _scaling_run(input_path: str, cores: int) -> dict:
-    out = subprocess.run(
-        [
-            sys.executable,
-            str(REPO / "jobs" / "encode_bench.py"),
-            "--input", input_path,
-            "--cores", str(cores),
-            # 4 MB groups: interleaved A/B vs 8 MB (2 reps, per-level minima)
-            # measured eff 0.946 vs 0.966 on a quiet box, but the 4N wall is
-            # far less load-sensitive with the finer straggler tail (31-39 s
-            # spread vs 33-51 s) — the recorded artifact survives a noisy
-            # driver run better
-            "--group-mb", "4",
-        ],
-        capture_output=True, text=True, check=True,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    """One encode job at ``cores`` total cores across ``cores`` SEPARATE
+    executor JVMs (local-cluster) — the literal N-vs-4N-EXECUTORS protocol
+    from BASELINE.json, not a thread-count stand-in. Falls back to local[N]
+    if local-cluster can't start (it needs a Spark dist on PATH)."""
+    base_cmd = [
+        sys.executable,
+        str(REPO / "jobs" / "encode_bench.py"),
+        "--input", input_path,
+        "--cores", str(cores),
+        # 4 MB groups: interleaved A/B vs 8 MB (2 reps, per-level minima)
+        # measured eff 0.946 vs 0.966 on a quiet box, but the 4N wall is
+        # far less load-sensitive with the finer straggler tail (31-39 s
+        # spread vs 33-51 s) — the recorded artifact survives a noisy
+        # driver run better
+        "--group-mb", "4",
+    ]
+    for masters in ([f"--master", f"local-cluster[{cores},1,4096]"], []):
+        out = subprocess.run(
+            base_cmd + masters, capture_output=True, text=True,
+        )
+        if out.returncode == 0:
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            r["mode"] = "executors" if masters else "threads"
+            return r
+        print(f"scaling run ({masters or 'local'}) failed:\n{out.stderr[-1000:]}",
+              file=sys.stderr)
+    raise RuntimeError(f"encode_bench failed at {cores} cores in both modes")
 
 
 def _kernel_scaling(input_path: str, n: int, reps: int) -> dict:
@@ -245,15 +256,18 @@ def main() -> None:
         "scaling": {
             "cores_small": n_small,
             "cores_big": n_big,
+            "mode": (run_big or {}).get("mode"),
             "gbps_small": round(run_small["gbps"], 4) if run_small else None,
             "gbps_big": round(run_big["gbps"], 4) if run_big else None,
             "efficiency": round(eff, 3) if eff is not None else None,
             "notes": (
-                "N=1 vs 4N=4 on a 1.79GB 7-regime corpus after a warmup job; "
-                "per-level minima over interleaved reps. Per-STAGE scaling "
-                "(Spark event logs, quiet box): scan 0.96, encode kernel "
-                "0.92 — the residual gap in any single pairing is the box's "
-                "+-30% minute-scale load drift, not the plan (BENCH.md)."
+                "N=1 vs 4N=4 SEPARATE executor JVMs (local-cluster[N,1,4096], "
+                "--py-files-shipped package) on a 1.79GB 7-regime corpus "
+                "after a warmup job; per-level minima over interleaved reps. "
+                "Per-STAGE scaling (Spark event logs, quiet box): scan 0.96, "
+                "encode kernel 0.92 — the residual gap in any single pairing "
+                "is the box's +-30% minute-scale load drift, not the plan "
+                "(BENCH.md)."
             ),
         },
         "kernel_scaling": (

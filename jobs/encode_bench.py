@@ -24,11 +24,18 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--group-mb", type=int, default=8)
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="override local[cores]; e.g. local-cluster[4,1,4096] runs the "
+        "same job across 4 separate executor JVMs (--cores must still state "
+        "the total core count for reporting)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
         f"gdelta-bench-{args.cores}",
-        master=f"local[{args.cores}]",
+        master=args.master or f"local[{args.cores}]",
         # many small tasks regardless of core count: per-group encode cost
         # varies ~20x across regimes, so 2 tasks/core leaves a straggler
         # tail at the higher level (measured: it alone costs ~15 points of
@@ -36,8 +43,23 @@ def main() -> None:
         shuffle_partitions=max(args.cores * 8, 64),
         # AQE's 64MB advisory target would coalesce the apply stage to
         # ~n_bytes/64MB tasks and cap parallelism
-        extra={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+        extra={
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            # executors in local-cluster mode spawn their own Python workers
+            "spark.pyspark.python": sys.executable,
+        },
     )
+    if args.master and args.master.startswith("local-cluster"):
+        # separate executor JVMs don't share the driver's sys.path: ship the
+        # package the same way a real cluster run does (--py-files zip)
+        import subprocess as _sp
+
+        zip_path = Path(__file__).resolve().parent.parent / "build" / "gdelta_spark.zip"
+        _sp.run(
+            [sys.executable, str(Path(__file__).resolve().parent.parent / "tools" / "make_pyfiles_zip.py"), str(zip_path)],
+            check=True, capture_output=True,
+        )
+        spark.sparkContext.addPyFile(str(zip_path))
     # narrow JVM scan for stats; Python-native scan for the data path
     meta = spark.read.parquet(args.input)
     n_rows, n_bytes = meta.agg(
