@@ -140,6 +140,65 @@ def _kernel_scaling(input_path: str, n: int, reps: int) -> dict:
     return json.loads(line)
 
 
+def _decode_throughput(corpus: str, sample_mb: int = 96) -> dict | None:
+    """Single-core decode GB/s over blocks encoded from a mixed-regime
+    corpus sample (the decode half of the reference API, gdelta.h:10-14):
+    encode once outside the clock, then time decode_block_rows only,
+    min over 3 reps, with bit-identity verified on the first rep."""
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from gdelta_spark import blocks
+
+        tbl = pq.read_table(corpus, columns=["tokens", "source"])
+        order = np.argsort(np.array(tbl.column("source").to_pylist()), kind="stable")
+        rows_all = tbl.column("tokens")
+        groups: list[list[bytes]] = []
+        cur: list[bytes] = []
+        cur_b = 0
+        budget = sample_mb << 20
+        taken = 0
+        for i in order.tolist():
+            r = rows_all[i].values.to_numpy().astype("<i4").tobytes()
+            cur.append(r)
+            cur_b += len(r)
+            taken += len(r)
+            if cur_b >= 4 << 20:
+                groups.append(cur)
+                cur, cur_b = [], 0
+            if taken >= budget:
+                break
+        if cur:
+            groups.append(cur)
+        enc = []
+        total = 0
+        for rows in groups:
+            arrays = [np.frombuffer(r, "<i4") for r in rows]
+            blob, _ = blocks.encode_block_rows(arrays, base=rows[0], rows_bytes=rows)
+            enc.append((blob, rows))
+            total += sum(len(r) for r in rows)
+        best = None
+        for rep in range(3):
+            t0 = time.time()
+            for blob, rows in enc:
+                out = blocks.decode_block_rows(blob, base=rows[0])
+                if rep == 0:
+                    for a, r in zip(out, rows):
+                        if a.tobytes() != r:
+                            raise AssertionError("decode mismatch")
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return {
+            "sample_gb": round(total / 1e9, 3),
+            "gbps_1core": round(total / best / 1e9, 4),
+            "verified": True,
+        }
+    except Exception as exc:  # noqa: BLE001
+        print(f"decode throughput probe failed: {exc}", file=sys.stderr)
+        return None
+
+
 def _ref_size_ratio(corpus: str, n_pairs: int = 24) -> float | None:
     """our_delta_bytes / cpp_delta_bytes over sampled (base,target) pairs
     from the corpus' near-dup rows. 1.0 == byte parity (the tests enforce
@@ -253,6 +312,7 @@ def main() -> None:
             "gbps_localN": round(run_big["gbps"], 4) if run_big else None,
             "size_vs_cpp_reference": _ref_size_ratio(corpus),
         },
+        "decode": _decode_throughput(corpus),
         "scaling": {
             "cores_small": n_small,
             "cores_big": n_big,
