@@ -53,22 +53,29 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _band_sigs(shingles: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) — per-band MinHash signature, exploded so the
-    band signature is a join key (LSH bucket).
+    """(doc_id, band, sig) — per-band MinHash signature (b=N_BANDS bands x
+    r=2 rows), exploded so the band signature is a join key (LSH bucket).
 
-    All N_BANDS signatures derive from ONE md5 per shingle: band b takes
-    the min over disjoint 8-hex-char slice b of the digest. Each slice
-    induces a different ordering of the shingle universe (a different
-    permutation for MinHash purposes) at 1/N_BANDS of the hash compute —
-    the md5 over the exploded shingle set is the dominant cost of the
-    whole dedup family at scale."""
-    h = F.md5("shingle")
+    The 2*N_BANDS permutations derive from TWO md5s per shingle (the digest
+    and a salted digest); band b's signature concatenates the mins of its
+    two disjoint 8-hex-char slices. r=2 is what makes the bucket volume
+    survive scale: P(candidate) = 1-(1-J^2)^b, so J=0.2 noise pairs bucket
+    at ~15% instead of r=1's ~59% while J>=0.8 true pairs still bucket at
+    >=99% — the exact-Jaccard verify then keeps precision exact either way,
+    but candidate COUNT is the cost driver on a 10^12-doc corpus. (The
+    round-1 r=1 banding was flagged for exactly this.) Two md5s over the
+    exploded shingle set remain the dominant cost of the dedup family."""
+    h1 = F.md5("shingle")
+    h2 = F.md5(F.concat("shingle", F.lit("~")))
     aggs = [
-        F.min(F.substring(h, 8 * b + 1, 8)).alias(f"s{b}")
+        F.min(F.substring(h1, 8 * b + 1, 8)).alias(f"p{b}")
+        for b in range(N_BANDS)
+    ] + [
+        F.min(F.substring(h2, 8 * b + 1, 8)).alias(f"q{b}")
         for b in range(N_BANDS)
     ]
     sigs = shingles.groupBy("doc_id").agg(*aggs)
-    stack = ", ".join(f"'{b}', s{b}" for b in range(N_BANDS))
+    stack = ", ".join(f"'{b}', concat(p{b}, q{b})" for b in range(N_BANDS))
     return sigs.select(
         "doc_id", F.expr(f"stack({N_BANDS}, {stack}) AS (band, sig)")
     )
@@ -173,7 +180,9 @@ shingles AS (
 )"""
 
 _BANDS_SQL = "\nUNION ALL\n".join(
-    f"SELECT doc_id, '{b}' AS band, MIN(substr(md5(shingle), {8 * b + 1}, 8)) AS sig"
+    f"SELECT doc_id, '{b}' AS band,"
+    f" MIN(substr(md5(shingle), {8 * b + 1}, 8))"
+    f" || MIN(substr(md5(shingle || '~'), {8 * b + 1}, 8)) AS sig"
     " FROM shingles GROUP BY doc_id"
     for b in range(N_BANDS)
 )
