@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_topk",
     "ann_lsh_best_pairs",
     "ann_ivf",
+    "ann_ivf2",
     "neardup_pairs",
     "dedup_keep",
     "simhash_text",

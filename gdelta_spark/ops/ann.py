@@ -392,3 +392,83 @@ SELECT label, COUNT(*) AS n_vecs,
 FROM embeddings LEFT JOIN drops USING (vec_id)
 GROUP BY label ORDER BY label
 """
+
+
+def ann_ivf_nprobe2(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """IVF search at nprobe=2: each query scans its TWO nearest coarse
+    cells — the standard recall mitigation for nprobe=1's miss of neighbors
+    living just across a cell boundary. The corpus stays assigned to one
+    cell each; only the (tiny) query side fans out x2 before the broadcast
+    hash join on the cell id, so candidate work per query is 2*|corpus|/N
+    and the corpus is still never shuffled."""
+    v = quantized_embeddings(spark, sf_dir)
+    cents = v.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("cq")
+    )
+    dots = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cell", _dot(F.col("q"), F.col("cq")).alias("cdot")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cell"))
+    ranked = dots.withColumn("crnk", F.row_number().over(w_cell))
+    cells = ranked.filter(F.col("crnk") == 1).select("vec_id", "cell", "q")
+    # query side: top-2 cells per query vector (rows fan out x2, but only
+    # for the n_queries vectors — the filter pushes to the parquet scan)
+    qcells = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("crnk") <= 2))
+        .select(F.col("vec_id").alias("query_id"), "cell", F.col("q").alias("qq"))
+    )
+    dotted = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qq"), F.col("q")).alias("dot"),
+        )
+        # a neighbor can appear via both probed cells only if duplicated —
+        # cells are disjoint per corpus vector, so no distinct needed
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        dotted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+ANN_IVF2_ORACLE = f"""
+WITH {_DIMS_CTE},
+cdots AS (
+  SELECT v.vec_id, CAST(c.vec_id AS INT) AS cell,
+         CAST(SUM(v.qx * c.qx) AS BIGINT) AS cdot
+  FROM dims v JOIN dims c USING (d)
+  WHERE c.vec_id < {N_CELLS}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cdot DESC, cell) AS crnk
+  FROM cdots
+),
+cells AS (SELECT vec_id, cell FROM ranked WHERE crnk = 1),
+qcells AS (SELECT vec_id AS query_id, cell FROM ranked
+           WHERE crnk <= 2 AND vec_id < 10),
+cand AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id
+  FROM qcells q JOIN cells v ON q.cell = v.cell AND v.vec_id <> q.query_id
+),
+dotted AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(x.qx * y.qx) AS BIGINT) AS dot
+  FROM cand c
+  JOIN dims x ON x.vec_id = c.query_id
+  JOIN dims y ON y.vec_id = c.neighbor_id AND y.d = x.d
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, neighbor_id) AS rnk
+  FROM dotted
+) WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
