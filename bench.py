@@ -1,8 +1,7 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], measures encode throughput
-on the deterministic fixture corpus at two parallelism levels (local[N/4] vs
-local[N] — the sandbox stand-in for N vs 4N executors, BASELINE.md), and
-prints ONE JSON line:
+on the deterministic fixture corpus at N vs 4N SEPARATE executor JVMs
+(local-cluster; thread-mode local[N] fallback), and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
      "encode": {...}, "scaling": {...}}
@@ -24,9 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # corpus + rep tradeoff: per-STAGE scaling measures 0.92-0.96 at N=1 vs 4
 # (event-log evidence, BENCH.md), but the box drifts +-30% minute to
-# minute, so the recorded efficiency converges via per-level MINIMA over
-# several interleaved reps — more reps on a mid-size corpus beats one rep
-# on a huge one. 150k rows = 1.79 GB tokens ~= 290 s/rep at N=1.
+# minute, so efficiency comes from the quietest SAME-WINDOW interleaved
+# pair (all pairs recorded) — more reps on a mid-size corpus beats one
+# rep on a huge one. 150k rows = 1.79 GB tokens ~= 130 s/rep at N=1.
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "150000"))  # per corpus
 # scaling levels: N and 4N. Default N=1: this sandbox's JVM+Python pairing
 # thrashes beyond ~16 concurrent tasks (local[32] runs ~4x SLOWER than
