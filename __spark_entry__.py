@@ -458,6 +458,12 @@ def _q_ann_ivf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_ivf_nprobe2(spark, sf_dir)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import ann
+
+    return ann.ann_recall(spark, sf_dir)
+
+
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact-dedup (applyInPandasWithState): documents
     arrive as two file-source waves — wave 1 replays every doc_id % 5 == 0
@@ -558,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_best_pairs": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf2": _q_ann_ivf2,
+        "ann_recall": _q_ann_recall,
         "embed_neardup_keep": _q_embed_neardup_keep,
         "simhash_text": _q_simhash_text,
         "quality_ratios": _q_quality_ratios,
@@ -688,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_best_pairs": _ops_ann().ANN_LSH_ORACLE,
         "ann_ivf": _ops_ann().ANN_IVF_ORACLE,
         "ann_ivf2": _ops_ann().ANN_IVF2_ORACLE,
+        "ann_recall": _ops_ann().ANN_RECALL_ORACLE,
         "embed_neardup_keep": _ops_ann().EMBED_NEARDUP_ORACLE,
         "simhash_text": _ops_dedup().SIMHASH_TEXT_ORACLE,
         "quality_ratios": _ops_text().QUALITY_RATIOS_ORACLE,

