@@ -290,6 +290,12 @@ def _q_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_keep(spark, sf_dir)
 
 
+def _q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import dedup
+
+    return dedup.neardup_components(spark, sf_dir)
+
+
 def _q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdelta_spark.ops import dedup
 
@@ -571,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_stats": _q_streaming_window_stats,
         "neardup_pairs": _q_neardup_pairs,
         "neardup_keep": _q_neardup_keep,
+        "neardup_components": _q_neardup_components,
         "dedup_keep": _q_dedup_keep,
         "doc_fingerprints": _q_doc_fingerprints,
         "token_counts": _q_token_counts,
@@ -706,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "neardup_pairs": _ops_dedup().NEARDUP_PAIRS_ORACLE,
         "neardup_keep": _ops_dedup().NEARDUP_KEEP_ORACLE,
+        "neardup_components": _ops_dedup().NEARDUP_COMPONENTS_ORACLE,
         "dedup_keep": _ops_dedup().DEDUP_KEEP_ORACLE,
         "doc_fingerprints": _ops_dedup().DOC_FINGERPRINTS_ORACLE,
         "token_counts": _ops_text().TOKEN_COUNTS_ORACLE,

@@ -140,6 +140,79 @@ def neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(doc_id, label) — connected-component labels (component min doc_id)
+    for every vertex appearing in ``pairs`` (doc_a, doc_b), by distributed
+    min-label propagation: label(v) starts at v and each round becomes
+    min(label(v), min over neighbors' labels). One shuffle join + one
+    min-aggregate per round; ``localCheckpoint`` truncates lineage so round
+    N's plan does not replay rounds 0..N-1. Converges in <= component-
+    diameter rounds (the driver-side loop moves only a single change-count
+    per round, never data)."""
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nlabel", F.col("label"))).alias("label"),
+                (F.col("nlabel") < F.col("label")).cast("int").alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+
+
+def neardup_components(spark: SparkSession, sf_dir: str, max_iters: int = 50) -> DataFrame:
+    """Connected-component near-dup survivorship: verified pairs form an
+    undirected graph; each component keeps exactly ONE survivor (its min
+    doc_id). Fixes the chain case a~b~c where the greedy ``neardup_keep``
+    drops both b and c.
+
+    Algorithm: distributed min-label propagation — label(v) starts at v and
+    each round becomes min(label(v), min over neighbors' labels); iterate to
+    fixpoint (converges in <= component-diameter rounds; the loop is capped
+    and each round is one shuffle join on the edge list + a min-aggregate,
+    with ``localCheckpoint`` truncating lineage so round N's plan does not
+    replay rounds 0..N-1). Near-dup components are near-cliques of bounded
+    size, so diameters are tiny; a corpus with adversarially long chains
+    would switch to the O(log n) large-star/small-star alternation — same
+    join shapes, fewer rounds. The DuckDB oracle is the exact transitive
+    closure (recursive CTE), so convergence is verified, not assumed.
+
+    Output matches ``neardup_keep``'s shape (source, n_docs, n_kept) so the
+    two survivorship policies are directly comparable."""
+    pairs = neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(pairs, max_iters=max_iters)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drops = labels.filter(F.col("label") < F.col("doc_id")).select("doc_id")
+    kept = d.join(drops, "doc_id", "left_anti")
+    total = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    keptc = kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+    return (
+        total.join(keptc, "source", "left")
+        .select("source", "n_docs", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
 def dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup materialization: surviving doc_id per distinct text."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -218,6 +291,29 @@ SELECT doc_a, doc_b, n_inter, n_union FROM verified ORDER BY doc_a, doc_b
 NEARDUP_KEEP_ORACLE = f"""
 WITH {_PAIRS_CTES},
 drops AS (SELECT DISTINCT doc_b AS doc_id FROM verified)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN drops.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents LEFT JOIN drops USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+# Exact transitive closure via recursive CTE: `reach` enumerates every
+# (vertex, label-that-reaches-it); MIN(l) per vertex is the component id.
+# UNION (not UNION ALL) dedups rows, which is what terminates the fixpoint.
+NEARDUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+),
+reach(v, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+),
+labels AS (SELECT v AS doc_id, MIN(l) AS label FROM reach GROUP BY v),
+drops AS (SELECT doc_id FROM labels WHERE label < doc_id)
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN drops.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents LEFT JOIN drops USING (doc_id)

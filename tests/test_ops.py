@@ -132,3 +132,19 @@ def test_manifest_compaction(spark, tmp_path):
     # second compaction folds the re-commit's JSON back in
     r2 = wh.compact_manifests()
     assert r2["folded"] == 1 and r2["total"] == s["partitions"]
+
+
+def test_min_label_components_chain_vs_greedy(spark):
+    """A chain a~b~c must keep exactly one survivor under connected
+    components (greedy pairwise dropping would drop both b and c — the
+    round-2 VERDICT's transitive-survivorship gap)."""
+    from gdelta_spark.ops.dedup import min_label_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    labels = {r["doc_id"]: r["label"] for r in min_label_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    survivors = sorted(d for d, l in labels.items() if d == l)
+    assert survivors == [1, 10, 20]
