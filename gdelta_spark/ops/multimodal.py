@@ -77,21 +77,32 @@ def payload_features(df: DataFrame) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                counts = np.bincount(b, minlength=256)
-                out.append(
-                    (
-                        item_id,
-                        int(b.size),
-                        int(counts[0x20]),
-                        int(counts[0x30:0x3A].sum()),
-                        int(counts[0x41:0x5B].sum()),
-                    )
+            # concatenate ONCE per Arrow batch, then every per-row statistic
+            # is a prefix-sum difference over row offsets — no per-row Python
+            # loop, no per-row numpy dispatch (round-2 VERDICT #6)
+            payloads = [bytes(p) for p in pdf["payload"]]
+            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            lens = np.fromiter(map(len, payloads), dtype=np.int64, count=len(payloads))
+            bounds = np.cumsum(lens)
+
+            def seg_count(mask: np.ndarray) -> np.ndarray:
+                # matching-byte positions binned into row segments by one
+                # searchsorted over the row bounds — O(matches log rows),
+                # no O(batch)·int64 prefix-sum temporaries, and (unlike
+                # add.reduceat) empty rows correctly count 0
+                pos = np.flatnonzero(mask)
+                return np.diff(
+                    np.concatenate(([0], np.searchsorted(pos, bounds, side="left")))
                 )
+
             yield pd.DataFrame(
-                out, columns=["item_id", "n_bytes", "n_space", "n_digit", "n_upper"]
+                {
+                    "item_id": pdf["item_id"].to_numpy(),
+                    "n_bytes": lens,
+                    "n_space": seg_count(cat == 0x20),
+                    "n_digit": seg_count((cat >= 0x30) & (cat <= 0x39)),
+                    "n_upper": seg_count((cat >= 0x41) & (cat <= 0x5A)),
+                }
             )
 
     return df.select("item_id", "payload").mapInPandas(feats, FEATURE_SCHEMA)
@@ -105,18 +116,28 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, n_frames: int = 4) -> Da
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, offs, blobs = [], [], []
-            for item_id, payload in zip(pdf["item_id"], pdf["payload"]):
-                raw = bytes(payload)
-                if not raw:
-                    continue
-                stride = max(len(raw) // n_frames, 1)
-                for k in range(min(n_frames, len(raw))):
-                    off = k * stride
-                    ids.append(item_id)
-                    offs.append(off)
-                    blobs.append(raw[off : off + frame_bytes])
-            yield pd.DataFrame({"item_id": ids, "frame_off": offs, "frame": blobs})
+            # vectorized frame plan: one concat + numpy offset arithmetic
+            # computes every (row, frame) slice boundary; the only per-frame
+            # step is materializing the output blob objects themselves
+            payloads = [bytes(p) for p in pdf["payload"]]
+            raw = b"".join(payloads)
+            lens = np.fromiter(map(len, payloads), dtype=np.int64, count=len(payloads))
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            per_row = np.minimum(n_frames, lens)  # 0 frames for empty rows
+            row_idx = np.repeat(np.arange(len(lens)), per_row)
+            first = np.cumsum(per_row) - per_row
+            k = np.arange(per_row.sum()) - np.repeat(first, per_row)
+            stride = np.maximum(lens // n_frames, 1)[row_idx]
+            off = k * stride
+            lo = starts[row_idx] + off
+            hi = np.minimum(lo + frame_bytes, starts[row_idx] + lens[row_idx])
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].to_numpy()[row_idx],
+                    "frame_off": off,
+                    "frame": [raw[a:b] for a, b in zip(lo.tolist(), hi.tolist())],
+                }
+            )
 
     return df.select("item_id", "payload").mapInPandas(
         frames, "item_id long, frame_off long, frame binary"
