@@ -292,31 +292,28 @@ def encode_and_commit(
         return df
 
     salted_narrow = prefix(partitioning.with_salt(narrow_src, gb, stats_df=stats_df))
-    all_keys = part_keys(salted_narrow).collect()
-    n_total = len(all_keys)
-    committed = {
-        (m["part_id"], int(m["key_hash"]), int(m["key_sum"]), int(m["input_rows"]))
-        for m in wh.committed_manifests()
-    }
-    todo = [
-        r
-        for r in all_keys
-        if (r["part_id"], int(r["key_hash"]), int(r["key_sum"]), int(r["input_rows"]))
-        not in committed
-    ]
-    n_pending = len(todo)
+    # pending resolution stays JVM-side: part keys (one row per partition,
+    # derived from the narrow no-payload scan) anti-joined against the
+    # committed manifests — the driver never collects the partition list
+    # (round-2 VERDICT #5: the old collect() was O(partitions) driver
+    # memory at 10^7 parts). localCheckpoint materializes the small pending
+    # table once so the count and the payload join don't re-run the scan.
+    keys = part_keys(salted_narrow)
+    pending = keys.join(
+        F.broadcast(wh.committed_df(spark)),
+        ["part_id", "key_hash", "key_sum", "input_rows"],
+        "left_anti",
+    ).localCheckpoint()
+    n_total = keys.count()
+    n_pending = pending.count()
     if n_pending == 0:
         return {"partitions": n_total, "encoded": 0, "skipped": n_total}
 
-    keys_by_part = {
-        r["part_id"]: (int(r["key_hash"]), int(r["key_sum"]), int(r["input_rows"]))
-        for r in todo
-    }
-    pend_ids = spark.createDataFrame(
-        [(p,) for p in keys_by_part], "part_id string"
-    )
     salted = prefix(partitioning.with_salt(bin_df, gb, stats_df=stats_df))
-    work = salted.join(F.broadcast(pend_ids), "part_id")
+    # pending is tiny after materialization -> broadcast hash join on
+    # part_id; the per-partition key columns ride along into the kernel so
+    # manifests are written without any driver-side lookup table
+    work = salted.join(F.broadcast(pending), "part_id")
 
     import hashlib
 
@@ -330,7 +327,9 @@ def encode_and_commit(
         out = encode_mod._encode_group(pdf)
         wh_local = Warehouse(root_b)
         data = out[out["block_id"] >= 0]
-        key_hash, key_sum, input_rows = keys_by_part[part_id]
+        key_hash = int(pdf["key_hash"].iloc[0])
+        key_sum = int(pdf["key_sum"].iloc[0])
+        input_rows = int(pdf["input_rows"].iloc[0])
         # payload integrity, from the exact bytes being encoded (no extra
         # scan): md5 over (doc_id, tok_bytes) in doc_id order
         h = hashlib.md5()
@@ -367,7 +366,9 @@ def encode_and_commit(
         )
 
     summary_df = (
-        work.select("part_id", "doc_id", "tok_bytes")
+        work.select(
+            "part_id", "key_hash", "key_sum", "input_rows", "doc_id", "tok_bytes"
+        )
         .groupBy("part_id")
         .applyInPandas(
             encode_commit_group,
