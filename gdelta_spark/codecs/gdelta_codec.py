@@ -341,7 +341,10 @@ def gdelta_decode_batch(
     inst_lens = np.empty(n, np.int64)
     for r, (st, ln) in enumerate(spans):
         il, pos = read_varint(payload, st)
-        if il == 0 or il > ln or payload[pos + il - 1] & 1:
+        # (pos - st) accounts for the varint header already consumed: a row
+        # whose header + instruction stream exceeds its span would otherwise
+        # read its final byte from the NEXT row (ADVICE r2 — il == ln edge)
+        if il == 0 or (pos - st) + il > ln or payload[pos + il - 1] & 1:
             return [gdelta_decode(payload[st : st + ln], base) for st, ln in spans]
         inst_start[r] = pos
         inst_lens[r] = il
