@@ -345,42 +345,38 @@ def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: two micro-batch waves through the Structured-Streaming
-    ingest (streaming.py) into a temp warehouse; per-wave commit summary
-    plus a decoded-bit-identical flag. Deterministic fixture input, so the
-    result is stable across runs."""
+    """Structured-Streaming ingest, HASH-CHECKED end to end (r2 VERDICT #8:
+    this was the last rows-only entry that could be oracle-hardened): the
+    derived tokens table arrives as two waves (doc_id parity) through
+    ``incremental_encode`` (readStream -> foreachBatch -> the real
+    encode_and_commit warehouse path), and the per-wave commit summary —
+    partitions touched, partitions encoded, rows committed — plus the
+    decoded-bit-identical flag is compared against a DuckDB reconstruction:
+    with one salt per (source, bucket) at this group budget, a wave's
+    partition count is exactly its distinct (source, floor(log2(n_tok+1)))
+    count. Batch part_ids are scoped per micro-batch, so every partition a
+    wave touches is encoded (skipped = 0 by construction)."""
     import shutil
     import tempfile
 
-    import pandas as pd
-
-    from gdelta_spark import fixtures
     from gdelta_spark.pipeline import decode as decode_mod
-    from gdelta_spark.pipeline import generator, streaming
+    from gdelta_spark.pipeline import streaming
     from gdelta_spark.pipeline import warehouse as wh_mod
 
+    t = documents_tokens(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="gdelta_stream_q_")
     try:
         inbox, root, ckpt = (f"{tmp}/{x}" for x in ("inbox", "wh", "ckpt"))
         waves = []
-        generator.tokens_table(
-            spark, rows_per_regime=8, seed=7, num_partitions=1
-        ).write.mode("append").parquet(inbox)
-        q = streaming.incremental_encode(spark, inbox, root, ckpt, group_bytes=1 << 20)
-        q.awaitTermination(300)
-        waves.append(q._gdelta_summaries)
-
-        recs = []
-        for regime in fixtures.REGIMES:
-            for doc_id, tokens, n_tok, source in fixtures.rows(7, regime, 8, start=5000):
-                recs.append((doc_id, tokens.tolist(), int(n_tok), source))
-        spark.createDataFrame(
-            pd.DataFrame(recs, columns=["doc_id", "tokens", "n_tok", "source"]),
-            schema=generator.TOKENS_SCHEMA,
-        ).write.mode("append").parquet(inbox)
-        q = streaming.incremental_encode(spark, inbox, root, ckpt, group_bytes=1 << 20)
-        q.awaitTermination(300)
-        waves.append(q._gdelta_summaries)
+        for wave in (0, 1):
+            t.filter(F.pmod(F.col("doc_id").cast("long"), F.lit(2)) == wave).coalesce(
+                1
+            ).write.mode("append").parquet(inbox)
+            q = streaming.incremental_encode(
+                spark, inbox, root, ckpt, group_bytes=64 << 20
+            )
+            q.awaitTermination(300)
+            waves.append(q._gdelta_summaries)
 
         blocks_df = wh_mod.Warehouse(root).read_blocks(spark)
         report = decode_mod.verify_roundtrip(spark.read.parquet(inbox), blocks_df)
@@ -404,13 +400,16 @@ def _q_embed_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time windowed aggregation through Structured Streaming: the
-    events table arrives as two file-source micro-batch waves (the second
-    wave is the LATE half — it exercises the watermark path), a 30-minute
-    watermark bounds state, and 1-hour tumbling windows count events per
-    type. Complete output mode makes the final memory-sink table equal the
-    batch answer, so the DuckDB oracle is the equivalent date_trunc
-    aggregation — a hash-checked streaming query, not a rows-only one."""
+    """Event-time windowed aggregation through Structured Streaming in
+    COMPLETE output mode: two file-source micro-batch waves, 1-hour tumbling
+    windows, counts per type. Complete mode retains all window state and
+    re-emits the full result each trigger — the declared 30-minute watermark
+    is INERT here (no late-drop, no eviction; ADVICE r2), which is exactly
+    why the final memory-sink table equals the batch answer and the DuckDB
+    oracle is the plain date_trunc aggregation. The watermark SEMANTICS
+    (bounded state, append-mode emission on window close) are covered by
+    ``streaming_window_append`` below; complete+memory is the demo shape,
+    append is the production shape."""
     import shutil
     import tempfile
     import uuid
@@ -438,6 +437,63 @@ def _q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return (
+            spark.table(sink)
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("wstart"),
+                "event_type",
+                "n_events",
+            )
+            .orderBy("wstart", "event_type")
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_streaming_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked streaming aggregation — the production
+    shape: a window row is emitted exactly once, when the watermark passes
+    its end, and its state is then evicted, so executor state is bounded by
+    the late-arrival horizon (here 30 minutes) regardless of stream length.
+
+    Determinism: the whole events table arrives as one file-source batch
+    (availableNow), the watermark then advances to max(ts) - 30min, and the
+    trailing no-data micro-batch finalizes every window whose end <= that
+    watermark. The DuckDB oracle models precisely that cutoff (microsecond
+    arithmetic via epoch_us), so this is hash-checked — the watermark
+    semantics themselves are what the oracle verifies: windows inside the
+    horizon (the last hour of the stream) are withheld, everything older is
+    emitted with full counts."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "event_type")
+    )
+    tmp = tempfile.mkdtemp(prefix="gdelta_stream_app_")
+    sink = f"app_{uuid.uuid4().hex[:8]}"
+    try:
+        inbox = f"{tmp}/inbox"
+        ev.coalesce(1).write.mode("append").parquet(inbox)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string"
+        ).parquet(inbox)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
             .format("memory")
             .queryName(sink)
             .trigger(availableNow=True)
@@ -575,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_text": _q_simhash_text,
         "quality_ratios": _q_quality_ratios,
         "streaming_window_stats": _q_streaming_window_stats,
+        "streaming_window_append": _q_streaming_window_append,
         "neardup_pairs": _q_neardup_pairs,
         "neardup_keep": _q_neardup_keep,
         "neardup_components": _q_neardup_components,
@@ -711,6 +768,15 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS n_events FROM events "
             "GROUP BY 1, 2 ORDER BY wstart, event_type"
         ),
+        # append mode: only windows whose end the watermark (max ts - 30min)
+        # has passed are finalized and emitted; the last hour stays in state
+        "streaming_window_append": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, "
+            "event_type, COUNT(*) AS n_events FROM events "
+            "WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= "
+            "(SELECT epoch_us(MAX(ts)) FROM events) - 1800000000 "
+            "GROUP BY 1, 2 ORDER BY wstart, event_type"
+        ),
         "neardup_pairs": _ops_dedup().NEARDUP_PAIRS_ORACLE,
         "neardup_keep": _ops_dedup().NEARDUP_KEEP_ORACLE,
         "neardup_components": _ops_dedup().NEARDUP_COMPONENTS_ORACLE,
@@ -733,9 +799,28 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT fp, doc_id, CAST(wave AS INT) AS wave "
             "FROM ranked WHERE rn = 1 ORDER BY fp"
         ),
-        # compression_summary / fixture_regimes / streaming_ingest: real
-        # encoder + streaming runs — not SQL-expressible; the driver records
-        # rows-only checks for them.
+        # one salt per (source, bucket) at the 64 MiB group budget, so a
+        # wave's partition count is its distinct (source, bucket) count;
+        # micro-batch part_id scoping makes encoded == partitions, and the
+        # all_ok flag asserts every decoded token array is bit-identical
+        "streaming_ingest": """
+            WITH t AS (
+              SELECT doc_id % 2 AS wave, source,
+                     CAST(FLOOR(LOG2(len(string_split(text, ' ')) + 1)) AS INT) AS bucket
+              FROM documents
+            )
+            SELECT CAST(wave AS INT) AS wave,
+                   CAST(COUNT(DISTINCT source || '#' || CAST(bucket AS VARCHAR)) AS BIGINT)
+                     AS partitions,
+                   CAST(COUNT(DISTINCT source || '#' || CAST(bucket AS VARCHAR)) AS BIGINT)
+                     AS encoded,
+                   COUNT(*) AS rows,
+                   1 AS all_ok
+            FROM t GROUP BY wave ORDER BY wave
+        """,
+        # compression_summary / fixture_regimes: real encoder runs over
+        # generated fixture corpora — not SQL-expressible; the driver
+        # records rows-only checks for them.
     }
 
 

@@ -69,7 +69,7 @@ def test_all_queries_have_coverage():
     assert set(ORACLES) <= set(QUERIES)
     # every claimed operator has a query; non-SQL ops are known + bounded
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"compression_summary", "fixture_regimes", "streaming_ingest"}
+    assert rows_only == {"compression_summary", "fixture_regimes"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
