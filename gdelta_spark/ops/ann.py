@@ -257,7 +257,11 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str, iters: int = KM_ITERS) ->
                 ).alias("cq")
             )
         )
-    return cents
+    # materialize the (N_CELLS-row) codebook once: every consumer (corpus
+    # assignment, query-side probes, nprobe ranking) references the trained
+    # table instead of replaying the Lloyd chain per DAG branch — the
+    # persisted-codebook shape a production deployment would use
+    return cents.localCheckpoint()
 
 
 def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
