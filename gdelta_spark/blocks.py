@@ -4,7 +4,18 @@ A block is the encode/decode unit: row token arrays are concatenated into one
 column vector, the per-row lengths are FOR-packed, and the vector is encoded
 with the chosen codec (or gdelta vs the partition base chunk). Blob layout:
 
-    [0x42][version:u8][n_rows:u32][lens sub-block (FOR)][codec block blob]
+    v1: [0x42][1][n_rows:u32][lens sub-block (FOR)][codec block blob]
+    v2: [0x42][2][zlib(v1 body from byte 2 on)]
+
+v2 is the entropy backstop (round 3): the structured encodings above leave
+residual byte-level redundancy in exactly one family — delta instruction
+streams + literals (gdelta blobs shrink a further ~2-2.8x under DEFLATE;
+dict/FOR/RLE/raw payloads are already at their entropy and gain ~1.00x) —
+so after encoding, the blob is zlib'd and the smaller form wins. This is
+the same layering as Parquet's page compression over its encodings. The
+attempt is skipped for RAW-coded blocks (raw means every structured codec
+already lost — the bytes are incompressibility-proven, and the skip keeps
+the hot path off the 55% of bench bytes that are random).
 
 Block-level (not row-level) encoding is what lets every codec kernel run
 vectorized over ~10^5 tokens per call instead of ~10^3 — the per-call numpy
@@ -14,6 +25,7 @@ overhead amortizes and the delta codec sees long base matches.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -23,6 +35,9 @@ from gdelta_spark.codecs.light import _pack_for, _unpack_for
 
 BLOCK_MAGIC = 0x42
 BLOCK_VERSION = 1
+BLOCK_VERSION_Z = 2  # zlib-wrapped v1 body
+_Z_LEVEL = 6
+_Z_MIN_SAVING = 0.97  # wrap only if >= 3% smaller (avoid flip-flop blobs)
 
 
 def encode_block_rows(
@@ -77,10 +92,23 @@ def encode_block_rows(
             payload, codec_id = raw_payload, core.RAW
 
     head = struct.pack("<BBI", BLOCK_MAGIC, BLOCK_VERSION, len(arrays))
-    return head + _pack_for(lens) + payload, codec_id
+    blob = head + _pack_for(lens) + payload
+    if codec_id != core.RAW and len(blob) > 64:
+        z = zlib.compress(blob[2:], _Z_LEVEL)
+        if len(z) + 2 < len(blob) * _Z_MIN_SAVING:
+            blob = struct.pack("<BB", BLOCK_MAGIC, BLOCK_VERSION_Z) + z
+    return blob, codec_id
+
+
+def _unwrap(blob: bytes) -> bytes:
+    """v2 -> equivalent v1 blob; v1 passes through."""
+    if len(blob) >= 2 and blob[0] == BLOCK_MAGIC and blob[1] == BLOCK_VERSION_Z:
+        return bytes([BLOCK_MAGIC, BLOCK_VERSION]) + zlib.decompress(blob[2:])
+    return blob
 
 
 def decode_block_rows(blob: bytes, base: bytes | None = None) -> list[np.ndarray]:
+    blob = _unwrap(blob)
     magic, version, n_rows = struct.unpack_from("<BBI", blob, 0)
     if magic != BLOCK_MAGIC or version != BLOCK_VERSION:
         raise ValueError("not a gdelta_spark row block")
@@ -96,5 +124,6 @@ def decode_block_rows(blob: bytes, base: bytes | None = None) -> list[np.ndarray
 
 
 def block_codec_name(blob: bytes) -> str:
+    blob = _unwrap(blob)
     lens, pos = _unpack_for(blob, 6)
     return core.blob_codec(blob[pos:])
