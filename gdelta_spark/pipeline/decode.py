@@ -23,11 +23,20 @@ DECODED_SCHEMA = "doc_id string, tok_bytes binary"
 def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("block_id", ignore_index=True)
     base_rows = pdf[pdf["block_id"] < 0]
-    # one bootstrap block per gdelta-coded cluster (encode.py); data blocks
-    # name their base via base_doc_id, non-delta blocks never read one
+    # one bootstrap block per gdelta-coded cluster (encode.py), replayed in
+    # EMISSION order (block_id -1, -2, ... i.e. reversed after the ascending
+    # sort): a CHAINED bootstrap names its parent via base_doc_id (already
+    # decoded by then) while its own id is doc_ids[0]; self-contained rows
+    # have base_doc_id == doc_ids[0], which is absent from the dict at that
+    # point, so base=None and the blob decodes standalone. Data blocks name
+    # their base via base_doc_id; non-delta blocks never read one.
     bases: dict[str, bytes] = {}
-    for bd, blob in zip(base_rows["base_doc_id"], base_rows["blob"]):
-        bases[bd] = tokens_to_bytes(blocks.decode_block_rows(bytes(blob))[0])
+    for bd, ids, blob in zip(
+        base_rows["base_doc_id"][::-1], base_rows["doc_ids"][::-1],
+        base_rows["blob"][::-1],
+    ):
+        arr = blocks.decode_block_rows(bytes(blob), base=bases.get(bd))[0]
+        bases[list(ids)[0]] = tokens_to_bytes(arr)
 
     out_ids: list[str] = []
     out_bytes: list[bytes] = []

@@ -212,23 +212,40 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
     out = []
     block_id = 0
     n_base = 0
+    prior_bases: list[tuple[str, bytes]] = []  # earlier clusters' (doc_id, bytes)
     for idx, cluster_codec in work:
         base_i = idx[0]
         base = rows_bytes[base_i]
         base_doc_id = doc_ids[base_i]
 
         if cluster_codec == core.GDELTA:
-            # bootstrap block: the elected base row, self-contained (any
-            # codec except gdelta — no base available at decode time; the
-            # chooser with base=None never picks gdelta); only gdelta-coded
-            # clusters need one
+            # bootstrap block: the elected base row. Default: self-contained
+            # (any codec except gdelta — the chooser with base=None never
+            # picks it). Round 3: CHAINED bases — a later cluster's base is
+            # probed against up to 4 earlier bases in this partition and
+            # stored as a delta when that is smaller (same-template clusters
+            # split by the signature grid, e.g. the near-dup regime, chain
+            # at ~90x). A chained row's base_doc_id names its parent while
+            # doc_ids[0] stays its own id; decode replays bases in emission
+            # order (block_id -1, -2, ...), so parents always decode first.
+            # Self-containment of the PARTITION is preserved — chains never
+            # cross a part_id.
             n_base += 1
             base_blob, _ = blocks.encode_block_rows([arrays[base_i]], base=None)
+            parent_id = base_doc_id
+            for p_id, p_bytes in prior_bases[-4:]:
+                cand, cid = blocks.encode_block_rows(
+                    [arrays[base_i]], codec_id=core.GDELTA, base=p_bytes,
+                    rows_bytes=[base],
+                )
+                if cid == core.GDELTA and len(cand) < len(base_blob):
+                    base_blob, parent_id = cand, p_id
             out.append(
-                (part_id, -n_base, "base", base_doc_id, [base_doc_id], 1,
+                (part_id, -n_base, "base", parent_id, [base_doc_id], 1,
                  int(arrays[base_i].size), int(arrays[base_i].nbytes),
                  len(base_blob), base_blob)
             )
+            prior_bases.append((base_doc_id, base))
 
         i = 0
         n = len(idx)

@@ -59,3 +59,36 @@ def test_empty_and_single():
         assert len(out) == len(rows)
         for a, b in zip(rows, out):
             assert np.array_equal(a, b)
+
+
+def test_chained_base_bootstrap_roundtrip():
+    """A later gdelta cluster's base stores as a delta against an earlier
+    base when smaller (near-dup groups split by the signature grid chain at
+    ~90x); decode replays bases in emission order and must reproduce every
+    row bit-identically."""
+    import pandas as pd
+
+    from gdelta_spark import fixtures
+    from gdelta_spark.pipeline.decode import _decode_group
+    from gdelta_spark.pipeline.encode import _encode_group
+
+    rows = list(fixtures.rows(1, "near-dup", 400))
+    pdf = pd.DataFrame(
+        {
+            "part_id": ["p"] * len(rows),
+            "doc_id": [r[0] for r in rows],
+            "tok_bytes": [r[1].astype("<i4").tobytes() for r in rows],
+        }
+    )
+    out = _encode_group(pdf)
+    base_rows = out[out["block_id"] < 0]
+    chained = [
+        (bd, list(ids)[0])
+        for bd, ids in zip(base_rows["base_doc_id"], base_rows["doc_ids"])
+        if bd != list(ids)[0]
+    ]
+    assert chained, "expected at least one chained base in the near-dup group"
+    dec = _decode_group(out)
+    got = dict(zip(dec["doc_id"], (bytes(b) for b in dec["tok_bytes"])))
+    for r in rows:
+        assert got[r[0]] == r[1].astype("<i4").tobytes()
