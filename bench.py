@@ -293,17 +293,23 @@ def main() -> None:
         )
 
     queries, q_total, queries_failed = _run_queries()
-    # Efficiency is a SAME-WINDOW comparison: each interleaved pair ran its
-    # two levels back-to-back, so the pair is internally consistent, while
-    # minima taken ACROSS pairs mix load regimes (a quiet minute speeds the
-    # 1-core level ~2x more than the bus-bound 4-core level on this shared-
-    # bandwidth VM, deflating a cross-window ratio). Record the quietest
-    # pair (min summed wall = least neighbor load) as the headline and every
-    # pair alongside, so nothing is hidden.
+    # Efficiency headline: POOLED totals — total bytes / total wall per
+    # level across ALL interleaved pairs, i.e. sum(wall_small) /
+    # (scale * sum(wall_big)). Each pair runs its two levels back-to-back
+    # (same load window); pooling then uses every rep instead of selecting
+    # one, which round-3 trials showed matters: the r2 min-summed-wall rule
+    # picked a pair whose 4-core leg had been hit by neighbor load (0.771)
+    # while the same run's pairs ranged 0.75-0.896 — no single-pair proxy
+    # for "quietest" is reliable on this VM. The quietest-pair value and
+    # every pair remain recorded alongside, so nothing is hidden.
     best_pair = min(pairs, key=lambda p: p["wall_small"] + p["wall_big"], default=None)
     run_small = best_pair["small"] if best_pair else {}
     run_big = best_pair["big"] if best_pair else {}
-    eff = best_pair["eff"] if best_pair else None
+    eff = None
+    if pairs:
+        sum_small = sum(p["wall_small"] for p in pairs)
+        sum_big = sum(p["wall_big"] for p in pairs)
+        eff = sum_small / (sum_big * n_big / n_small)
 
     # kernel-level scaling: the encode compute in a process pool (isolates
     # the engine from Spark fixed stage costs; mirrors executor scale-out);
@@ -345,6 +351,9 @@ def main() -> None:
             "gbps_small": round(run_small["gbps"], 4) if run_small else None,
             "gbps_big": round(run_big["gbps"], 4) if run_big else None,
             "efficiency": round(eff, 3) if eff is not None else None,
+            "efficiency_best_pair": (
+                round(max(p["eff"] for p in pairs), 3) if pairs else None
+            ),
             "all_pairs": [
                 {k: p[k] for k in ("wall_small", "wall_big", "eff")} for p in pairs
             ],
@@ -352,13 +361,15 @@ def main() -> None:
                 "N=1 vs 4N=4 SEPARATE executor JVMs (local-cluster[N,1,4096], "
                 "--py-files-shipped package) on a 1.79GB 7-regime corpus "
                 "after a warmup job; the scaling phase runs FIRST (cold box), "
-                "before the query phase. Efficiency is the quietest "
-                "interleaved pair (min summed wall) — a same-window "
-                "comparison; every pair is recorded in all_pairs. "
-                "Cross-window minima deflate the ratio on this VM because a "
-                "quiet minute speeds the 1-core level ~2x more than the "
-                "bus-bound 4-core level (one shared ~2GB/s memory bus; "
-                "BENCH.md box calibration). Per-STAGE scaling (Spark event "
+                "before the query phase. Headline efficiency POOLS all "
+                "interleaved pairs: sum(wall_small) / (4 * sum(wall_big)) — "
+                "total measured work over the same overall load window at "
+                "each level, using every rep instead of selecting one "
+                "(round-3 trials showed no single-pair 'quietest' proxy is "
+                "reliable on this VM: pairs within one run ranged "
+                "0.75-0.90 from neighbor load alone). Every pair is "
+                "recorded in all_pairs; gbps_small/gbps_big are the "
+                "min-summed-wall pair's. Per-STAGE scaling (Spark event "
                 "logs, quiet box): scan 0.96, encode kernel 0.92."
             ),
         },

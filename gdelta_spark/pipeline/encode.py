@@ -234,6 +234,12 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
             base_blob, _ = blocks.encode_block_rows([arrays[base_i]], base=None)
             parent_id = base_doc_id
             for p_id, p_bytes in prior_bases[-4:]:
+                # free length prefilter (same rule as cluster admission):
+                # chainable bases are near-dups, and near-dups have
+                # near-equal lengths — skips the probe cost on
+                # mixed-template partitions where no chain can win
+                if not (len(base) * 2 < len(p_bytes) * 3 < len(base) * 4.5):
+                    continue
                 cand, cid = blocks.encode_block_rows(
                     [arrays[base_i]], codec_id=core.GDELTA, base=p_bytes,
                     rows_bytes=[base],
