@@ -148,3 +148,18 @@ def test_min_label_components_chain_vs_greedy(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
     survivors = sorted(d for d, l in labels.items() if d == l)
     assert survivors == [1, 10, 20]
+
+
+def test_planes_for_bounds_bucket_width():
+    """The banded-LSH sizing rule: r = ceil(log2(n/W)) planes per band keeps
+    the EXPECTED bucket width <= W (uniform-signature model), so candidate
+    self-join work is O(n * W) per band at any corpus size."""
+    from gdelta_spark.ops.ann import planes_for
+
+    for n in (10**3, 10**6, 10**9, 10**12):
+        r = planes_for(n, target_width=1024)
+        assert n / (2**r) <= 1024, (n, r)
+        # and not absurdly oversized (within one doubling of the target)
+        assert n / (2**r) > 256 or n <= 1024 * 512, (n, r)
+    assert planes_for(10**12, 1024) == 30
+    assert planes_for(1, 1024) == 1  # degenerate corpora stay valid
