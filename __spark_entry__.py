@@ -344,6 +344,12 @@ def _q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_stats(spark, sf_dir)
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdelta_spark.ops import multimodal
+
+    return multimodal.multimodal_frames(spark, sf_dir)
+
+
 def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming ingest, HASH-CHECKED end to end (r2 VERDICT #8:
     this was the last rows-only entry that could be oracle-hardened): the
@@ -640,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_confusion": _q_lang_confusion,
         "multimodal_stats": _q_multimodal_stats,
+        "multimodal_frames": _q_multimodal_frames,
         "streaming_ingest": _q_streaming_ingest,
         "streaming_dedup": _q_streaming_dedup,
     }
@@ -785,6 +792,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _ops_text().TOKEN_COUNTS_ORACLE,
         "lang_confusion": _ops_text().LANG_CONFUSION_ORACLE,
         "multimodal_stats": _ops_multimodal().MULTIMODAL_STATS_ORACLE,
+        "multimodal_frames": _ops_multimodal().MULTIMODAL_FRAMES_ORACLE,
         "streaming_dedup": (
             "WITH waved AS ("
             "  SELECT doc_id, text, 0 AS wave FROM documents"

@@ -165,6 +165,47 @@ def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of the frame sampler through the FULL binary path:
+    documents -> binary payload -> mapInPandas fixed-stride sampling -> frame
+    fingerprint aggregate. Oracle-checkable because the payload is the utf-8
+    document text (ASCII in the synthetic corpus), so DuckDB reproduces each
+    frame as a substr slice and md5-fingerprints the same bytes."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("item_id"), "source"
+    )
+    frames = sample_frames(documents_as_binary(spark, sf_dir))
+    return (
+        frames.join(d, "item_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum(F.length("frame")).alias("sum_frame_bytes"),
+            F.countDistinct(F.md5("frame")).alias("n_distinct_frames"),
+        )
+        .orderBy("source")
+    )
+
+
+# fixed-stride slices replayed in SQL: k in 0..min(4, len)-1, off = k*stride,
+# stride = max(len//4, 1), frame = substr(text, off+1, 64) — byte-identical
+# to the binary path for ASCII text
+MULTIMODAL_FRAMES_ORACLE = """
+WITH f AS (
+  SELECT d.source, k.k * GREATEST(strlen(d.text) // 4, 1) AS off, d.text
+  FROM documents d
+  JOIN (SELECT unnest(range(4)) AS k) k
+    ON k.k < LEAST(4, strlen(d.text))
+  WHERE strlen(d.text) > 0
+),
+fr AS (SELECT source, substr(text, CAST(off AS INT) + 1, 64) AS frame FROM f)
+SELECT source, COUNT(*) AS n_frames,
+       CAST(SUM(strlen(frame)) AS BIGINT) AS sum_frame_bytes,
+       CAST(COUNT(DISTINCT md5(frame)) AS BIGINT) AS n_distinct_frames
+FROM fr GROUP BY source ORDER BY source
+"""
+
+
 MULTIMODAL_STATS_ORACLE = """
 SELECT source, COUNT(*) AS n_items,
        CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
