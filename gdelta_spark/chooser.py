@@ -12,6 +12,7 @@ imports, no driver round-trip.
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -22,6 +23,14 @@ from gdelta_spark.codecs.light import bit_width
 
 SAMPLE_TOKENS = 32_768
 PROBE_TOKENS = 2_048  # per-row gdelta similarity probe size
+
+
+def _backstopped(enc: bytes) -> int:
+    """Size after the block layer's entropy backstop (blocks.py v2): the
+    blob ships zlib-wrapped when that is smaller. The chooser must model
+    the same stage it feeds, or it routes e.g. texty clusters to the slow
+    delta path when FSST+backstop is both smaller and 4x faster."""
+    return min(len(enc), len(zlib.compress(enc, 6)) + 2)
 
 
 @dataclass
@@ -48,7 +57,7 @@ def probe_similarity(sample_rows: list[np.ndarray], base: bytes | None) -> float
     for row in sample_rows[:3]:
         rb = tokens_to_bytes(row[:PROBE_TOKENS])
         raw += len(rb)
-        enc += len(gdelta_encode(rb, probe_base))
+        enc += _backstopped(gdelta_encode(rb, probe_base))
     return enc / raw if raw else 1.0
 
 
@@ -81,7 +90,9 @@ def _measure_fsst(values: np.ndarray) -> float:
     sample = values[: 8192]
     if sample.size == 0:
         return 8.0
-    return len(core.encode_block(sample, core.FSST)) * (values.size / sample.size)
+    return _backstopped(core.encode_block(sample, core.FSST)) * (
+        values.size / sample.size
+    )
 
 
 def choose_codec(
@@ -114,9 +125,10 @@ def choose_codec(
             # similarity already sampled per-row; reuse the analytic figure
             measured[name] = est[name]
             continue
-        measured[name] = len(core.encode_block(sample, cid)) * (
-            values.size / max(sample.size, 1)
-        )
+        enc = core.encode_block(sample, cid)
+        # raw blocks skip the backstop in the block layer; model that too
+        size = len(enc) if cid == core.RAW else _backstopped(enc)
+        measured[name] = size * (values.size / max(sample.size, 1))
     winner = min(measured, key=measured.get)
     # near-tie: prefer raw (cheapest decode, no ambiguity from estimate noise)
     if "raw" in measured and measured["raw"] <= measured[winner] * 1.02:
