@@ -347,16 +347,52 @@ def ann_ivf_nprobe2(
     )
 
 
-def ann_recall(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+def ann_recall(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
     """recall@k of the IVF family vs the exact baseline: for nprobe in
     {1, 2}, how many of ``ann_topk``'s exact top-k pairs the IVF search
     returned. Integer-only output so the oracle hashes identically:
-    (nprobe, n_hits, n_exact). The joins are tiny (n_queries * k rows per
-    side) — the cost is the two IVF runs themselves."""
-    exact = ann_topk(spark, sf_dir, k=k).select("query_id", "neighbor_id")
+    (nprobe, n_hits, n_exact).
+
+    The codebook trains ONCE and both nprobe levels derive from one
+    ranked cell assignment (nprobe=1 is the crnk<=1 restriction of the
+    same window, identical tie-breaks to ``ann_ivf_topk``'s max_by), so
+    the query costs one training + one assignment + two tiny probe joins
+    instead of two full IVF runs."""
+    exact = (
+        ann_topk(spark, sf_dir, n_queries=n_queries, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    v = quantized_embeddings(spark, sf_dir)
+    cents = kmeans_centroids(spark, sf_dir)
+    dists = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "q", "cell", _sqdist(F.col("q"), F.col("cq")).alias("dist2")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    ranked = dists.withColumn("crnk", F.row_number().over(w_cell))
+    cells = ranked.filter(F.col("crnk") == 1).select("vec_id", "cell", "q")
     rows = []
-    for nprobe, q in ((1, ann_ivf_topk), (2, ann_ivf_nprobe2)):
-        approx = q(spark, sf_dir, k=k).select("query_id", "neighbor_id")
+    for nprobe in (1, 2):
+        qcells = ranked.filter(
+            (F.col("vec_id") < n_queries) & (F.col("crnk") <= nprobe)
+        ).select(F.col("vec_id").alias("query_id"), "cell", F.col("q").alias("qq"))
+        dotted = (
+            cells.join(F.broadcast(qcells), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _dot(F.col("qq"), F.col("q")).alias("dot"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+        approx = (
+            dotted.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id")
+        )
         rows.append(
             exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
             .agg(F.count("*").alias("n_hits"))
