@@ -163,3 +163,32 @@ def test_planes_for_bounds_bucket_width():
         assert n / (2**r) > 256 or n <= 1024 * 512, (n, r)
     assert planes_for(10**12, 1024) == 30
     assert planes_for(1, 1024) == 1  # degenerate corpora stay valid
+
+
+def test_query_job_cli(tmp_path):
+    """Every registered query is runnable standalone via jobs/query_job.py
+    (the switch-from-the-reference CLI story); --list tags hash-checked vs
+    rows-only, and a real run writes parquet."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "jobs" / "query_job.py"), "--list"],
+        capture_output=True, text=True, check=True,
+    )
+    assert "ann_topk" in out.stdout and "[hash-checked]" in out.stdout
+    assert "compression_summary" in out.stdout and "[rows-only]" in out.stdout
+
+    dest = tmp_path / "q.parquet"
+    out = subprocess.run(
+        [
+            sys.executable, str(repo / "jobs" / "query_job.py"),
+            "--query", "dedup_exact", "--sf-dir", "/root/testdata/sf0.001",
+            "--master", "local[4]", "--show", "0", "--out", str(dest),
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    assert "query=dedup_exact rows=20" in out.stdout
+    assert dest.exists()
