@@ -192,3 +192,23 @@ def test_query_job_cli(tmp_path):
     )
     assert "query=dedup_exact rows=20" in out.stdout
     assert dest.exists()
+
+
+def test_ann_index_build_and_search(spark, tmp_path):
+    """Persisted IVF index: build writes codebook + cells parquet; search
+    over the index at nprobe=1 reproduces the direct ann_ivf_topk answer
+    exactly (same codebook, same tie-breaks) without retraining."""
+    from jobs.ann_index_job import build_index, search_index
+    from gdelta_spark.ops import ann
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    info = build_index(spark, sf, idx)
+    assert info["n_vectors"] == 500
+    assert sum(info["cells"].values()) == 500
+
+    got = search_index(spark, idx, list(range(10)), nprobe=1, k=5).collect()
+    want = ann.ann_ivf_topk(spark, sf).select(
+        "query_id", "neighbor_id", "dot", "rnk"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
