@@ -62,3 +62,45 @@ def test_gdelta_oracle_differential(pair, ref_gdelta):
     assert ours == refd, (len(ours), len(refd))
     if target:
         assert ref_decode(ours, base) == target
+
+
+@st.composite
+def row_block(draw):
+    """Random multi-row token block: mixed lengths incl. empty rows, values
+    across the int32 range, with an optional near-dup tail so the gdelta +
+    chained-base paths are exercised."""
+    n = draw(st.integers(1, 8))
+    rows = [
+        np.array(
+            draw(
+                st.lists(
+                    st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=400
+                )
+            ),
+            dtype=np.int32,
+        )
+        for _ in range(n)
+    ]
+    if draw(st.booleans()) and rows[0].size:
+        dup = rows[0].copy()
+        if dup.size > 2:
+            dup[draw(st.integers(0, dup.size - 1))] = draw(
+                st.integers(-(2**31), 2**31 - 1)
+            )
+        rows.append(dup)
+    return rows
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=row_block(), cid=st.sampled_from([None, core.RAW, core.DICT, core.RLE, core.FOR, core.FSST, core.GDELTA]))
+def test_block_layer_roundtrip_any_rows(rows, cid):
+    """Block layer (v2 entropy backstop included) round-trips arbitrary row
+    sets under every codec forcing, bit-exactly."""
+    from gdelta_spark import blocks
+
+    rb = [r.tobytes() for r in rows]
+    blob, picked = blocks.encode_block_rows(rows, codec_id=cid, base=rb[0], rows_bytes=rb)
+    out = blocks.decode_block_rows(blob, base=rb[0])
+    assert len(out) == len(rows)
+    for a, r in zip(out, rows):
+        assert np.asarray(a, dtype=np.int32).tobytes() == r.tobytes()
