@@ -51,11 +51,11 @@ def gdelta_rows_payload(
 
     if base is None:
         raise ValueError("gdelta block codec requires a base chunk")
-    from gdelta_spark.codecs.gdelta_codec import precompute_base_fps
+    from gdelta_spark.codecs.gdelta_codec import precompute_base_index
 
     if rows_bytes is None:
         rows_bytes = [tokens_to_bytes(a) for a in arrays]
-    base_fps = precompute_base_fps(base) if len(rows_bytes) > 1 else None
+    base_fps = precompute_base_index(base) if len(rows_bytes) > 1 else None
     blobs = [gdelta_encode(rb, base, base_fps) for rb in rows_bytes]
     lens = np.array([len(b) for b in blobs], dtype=np.int64)
     return struct.pack("<I", len(blobs)) + _pack_for(lens) + b"".join(blobs)

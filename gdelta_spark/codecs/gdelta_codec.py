@@ -472,12 +472,57 @@ def _gear_fingerprints(data: np.ndarray) -> np.ndarray:
 _LOW32 = np.uint64(0xFFFFFFFF)
 
 
+class BaseIndex:
+    """Per-base precompute shared across many ``gdelta_encode`` calls of a
+    group (the pipeline encodes hundreds of rows against one elected base).
+
+    Holds the full-base Gear fingerprints, the pre-packed table entries
+    ``(pos << 32) | low32(fp)`` for every window position, per-``bit`` index
+    arrays, and a small cache of built hash tables keyed by
+    ``(beg_size, end_size, bit)`` — rows that elide no prefix/suffix (the
+    common case for rows unrelated to the base) all share one table, which
+    turns the dominant per-row cost (a 512 KiB cache-cold scatter) into a
+    dict hit. Per-row builds that do miss reduce to two strided views and
+    one scatter: no arithmetic is recomputed.
+    """
+
+    __slots__ = ("fps", "packed", "_idx", "tables")
+
+    _MAX_TABLES = 8  # worst case 8 x 512 KiB per group; misses just rebuild
+
+    def __init__(self, base: bytes):
+        self.fps = _gear_fingerprints(np.frombuffer(base, dtype=np.uint8))
+        packed = np.arange(self.fps.size, dtype=np.uint64)
+        packed <<= np.uint64(32)
+        packed |= self.fps & _LOW32
+        self.packed = packed
+        self._idx: dict[int, np.ndarray] = {}
+        self.tables: dict[tuple[int, int, int], np.ndarray] = {}
+
+    def idx(self, bit: int) -> np.ndarray:
+        a = self._idx.get(bit)
+        if a is None:
+            a = (self.fps >> np.uint64(64 - bit)).view(np.int64)
+            self._idx[bit] = a
+        return a
+
+    def table(self, base8: np.ndarray, beg_size: int, end_size: int, bit: int) -> np.ndarray:
+        key = (beg_size, end_size, bit)
+        t = self.tables.get(key)
+        if t is None:
+            t = _build_hash_table(base8, beg_size, end_size, bit, self)
+            if len(self.tables) >= self._MAX_TABLES:
+                self.tables.pop(next(iter(self.tables)))
+            self.tables[key] = t
+        return t
+
+
 def _build_hash_table(
     base8: np.ndarray,
     beg_size: int,
     end_size: int,
     bit: int,
-    base_fps: np.ndarray | None = None,
+    base_fps: "np.ndarray | BaseIndex | None" = None,
 ) -> np.ndarray:
     """Single-slot hash table over the base interior: fingerprint top ``bit``
     bits -> packed u64 entry ``(abs_pos << 32) | (fp & 0xFFFFFFFF)``, 0 =
@@ -501,6 +546,17 @@ def _build_hash_table(
         return table
     n_fps = interior_len - STRLOOK + 1
     if n_fps <= 2:
+        return table
+    if isinstance(base_fps, BaseIndex):
+        # zero-compute build: strided views of the per-base precomputed index
+        # and packed-entry arrays, one fancy-index scatter. Positions strictly
+        # increase along the views, so C-order fancy assignment == the
+        # reference's last-writer-wins overwrite (differential-tested against
+        # maximum.at in test_gdelta_codec).
+        idxv = base_fps.idx(bit)[beg_size + 2 : beg_size + n_fps : STRLSTEP]
+        if idxv.size == 0:
+            return table
+        table[idxv] = base_fps.packed[beg_size + 2 : beg_size + n_fps : STRLSTEP]
         return table
     if base_fps is not None:
         # fingerprints shared across rows of a group: a strided VIEW of the
@@ -557,7 +613,16 @@ def precompute_base_fps(base: bytes) -> np.ndarray:
     return _gear_fingerprints(np.frombuffer(base, dtype=np.uint8))
 
 
-def gdelta_encode(new: bytes, base: bytes, base_fps: np.ndarray | None = None) -> bytes:
+def precompute_base_index(base: bytes) -> BaseIndex:
+    """Full per-base precompute (fingerprints + packed table entries + table
+    cache); pass as ``base_fps`` to ``gdelta_encode`` for the fastest
+    many-rows-one-base path."""
+    return BaseIndex(base)
+
+
+def gdelta_encode(
+    new: bytes, base: bytes, base_fps: "np.ndarray | BaseIndex | None" = None
+) -> bytes:
     new8 = np.frombuffer(new, dtype=np.uint8)
     base8 = np.frombuffer(base, dtype=np.uint8)
     new_size = new8.size
@@ -599,7 +664,10 @@ def gdelta_encode(new: bytes, base: bytes, base_fps: np.ndarray | None = None) -
 
     # hash table sizing: bit_length(interior + 10) (gdelta.cpp:321-328)
     bit = ((base_size - beg_size - end_size) + 10).bit_length()
-    table = _build_hash_table(base8, beg_size, end_size, bit, base_fps)
+    if isinstance(base_fps, BaseIndex):
+        table = base_fps.table(base8, beg_size, end_size, bit)
+    else:
+        table = _build_hash_table(base8, beg_size, end_size, bit, base_fps)
 
     n2 = new_size - end_size  # exclusive end of the scan region
     tgt = new8[beg_size:n2]
@@ -615,17 +683,23 @@ def gdelta_encode(new: bytes, base: bytes, base_fps: np.ndarray | None = None) -
     bb_mem = base8.tobytes() if not isinstance(base, (bytes, bytearray)) else base
 
     # Lazy per-segment probing: fingerprints/candidates are computed only for
-    # the segments the cursor actually visits — long matches skip whole
-    # segments, which is the common case on near-duplicate data.
+    # the segments the cursor actually visits. Segments are sized adaptively:
+    # the first load after a match is tiny (on near-duplicate data the gap to
+    # the next match is a few dozen bytes — computing a 256 KiB segment of
+    # fingerprints to cross it was the round-3 encoder's dominant cost), and
+    # each further load in the same gap grows 8x so genuinely literal regions
+    # (mixed-dup rows that never match) converge to the big-segment path
+    # within three loads.
     SEG = 1 << 18
+    SEG0 = 1 << 8
     seg_start = seg_end = 0
     seg_pos = np.empty(0, dtype=np.int64)  # prefilter-passing positions
     seg_cand = np.empty(0, dtype=np.int64)  # their candidate base offsets
 
-    def load_segment(s: int) -> None:
+    def load_segment(s: int, size: int) -> None:
         nonlocal seg_start, seg_end, seg_pos, seg_cand
         seg_start = s
-        seg_end = min(s + SEG, last_pos + 1)
+        seg_end = min(s + size, last_pos + 1)
         fps = _gear_fingerprints(tgt[s : seg_end + STRLOOK - 1])
         idx = (fps >> shift).view(np.int64)
         entry = table[idx]
@@ -640,11 +714,13 @@ def gdelta_encode(new: bytes, base: bytes, base_fps: np.ndarray | None = None) -
         exactly; returns (q, offset) or (-1, 0). Identical accept set to the
         reference's per-position probe: equal bytes => equal fingerprint =>
         passes the prefilter; the exact compare then mirrors the memcmp."""
+        size = SEG0
         while True:
             if p > last_pos:
                 return -1, 0
             if not (seg_start <= p < seg_end) or seg_end == seg_start:
-                load_segment(p)
+                load_segment(p, size)
+                size = min(size * 8, SEG)
             i = int(np.searchsorted(seg_pos, p))
             while i < seg_pos.size:
                 q = int(seg_pos[i])

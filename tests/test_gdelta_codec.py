@@ -165,3 +165,34 @@ def test_batch_decode_empty_and_single():
     tgt = _mutate(base, 3)
     d = gdelta_encode(tgt, base)
     assert gdelta_decode_batch(d, [(0, len(d))], base) == [tgt]
+
+
+def test_base_index_encode_identical():
+    """BaseIndex fast path (cached tables, fancy-assign scatter, zero-compute
+    strided builds) must not change a single emitted byte vs the plain path."""
+    from gdelta_spark.codecs.gdelta_codec import BaseIndex, precompute_base_fps
+
+    for name, base, target in CASES:
+        if not base:
+            continue
+        bi = BaseIndex(base)
+        plain = gdelta_encode(target, base)
+        with_fps = gdelta_encode(target, base, precompute_base_fps(base))
+        with_index = gdelta_encode(target, base, bi)
+        again = gdelta_encode(target, base, bi)  # cached-table path
+        assert plain == with_fps == with_index == again, name
+
+
+def test_base_index_table_matches_plain_build():
+    """The strided-view fancy-assign scatter must reproduce the reference's
+    last-writer-wins table exactly (C-order fancy assignment == overwrite)."""
+    from gdelta_spark.codecs.gdelta_codec import BaseIndex, _build_hash_table
+
+    base = _rand_bytes(5000)
+    base8 = np.frombuffer(base, np.uint8)
+    bi = BaseIndex(base)
+    for beg, end in [(0, 0), (0, 100), (17, 0), (17, 33), (1, 1), (101, 202)]:
+        bit = ((len(base) - beg - end) + 10).bit_length()
+        plain = _build_hash_table(base8, beg, end, bit, None)
+        fast = _build_hash_table(base8, beg, end, bit, bi)
+        assert np.array_equal(plain, fast), (beg, end)
