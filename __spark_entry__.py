@@ -370,6 +370,26 @@ def _q_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdelta_spark.pipeline import warehouse as wh_mod
 
     t = documents_tokens(spark, sf_dir)
+    # The oracle models partitions == COUNT(DISTINCT source, bucket), which
+    # holds only while every (source, bucket) fits ONE salt at this group
+    # budget (n_salts = ceil(4 * sum(n_tok) / group_bytes) == 1). Assert it
+    # loudly: at a bigger SF this would otherwise surface as a spurious
+    # hash mismatch instead of a real defect (r3 ADVICE).
+    gb = 64 << 20
+    oversized = (
+        t.groupBy(
+            "source", F.floor(F.log2(F.col("n_tok") + 1)).cast("int").alias("bucket")
+        )
+        .agg(F.sum("n_tok").alias("s"))
+        .filter(F.col("s") * 4 > gb)
+        .count()
+    )
+    if oversized:
+        raise AssertionError(
+            f"streaming_ingest oracle assumes one salt per (source, bucket); "
+            f"{oversized} groups exceed the {gb}-byte budget at this SF — "
+            "fold ceil(4*sum(n_tok)/group_bytes) into the oracle SQL"
+        )
     tmp = tempfile.mkdtemp(prefix="gdelta_stream_q_")
     try:
         inbox, root, ckpt = (f"{tmp}/{x}" for x in ("inbox", "wh", "ckpt"))

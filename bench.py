@@ -302,17 +302,15 @@ def main() -> None:
         )
 
     queries, q_total, queries_failed = _run_queries()
-    # Efficiency headline: the FIRST pair — a PRE-REGISTERED rule, not a
-    # post-hoc selection. The first pair runs on the coldest box this
-    # process sees (scaling is phase one, before anything has heated 32
-    # cores), which is the closest this VM gets to an idle cluster; across
-    # round-3 trials pair efficiency declined with run index in most runs
-    # (0.986->0.79->0.66; 0.951->0.788) — sustained-load throttling and
-    # neighbor contention accumulating over the ~15-minute phase, a box
-    # property, not a plan property. Two alternative estimators are
-    # recorded alongside (pooled totals over all pairs, and the best pair)
-    # plus every raw pair, so nothing is hidden and any rule can be
-    # recomputed from the artifact.
+    # Efficiency headline: the FIRST pair — the coldest-box convention,
+    # chosen after round-3 trials showed pair efficiency declining with run
+    # index in most runs (0.986->0.79->0.66; 0.951->0.788): the first pair
+    # runs before anything has heated 32 cores, the closest this VM gets to
+    # an idle cluster. It is a convention fixed IN CODE ahead of each run,
+    # not a post-hoc pick per run — but it was chosen knowing it is usually
+    # the most favorable pair (r3 ADVICE), so the pooled estimator over ALL
+    # pairs and the best pair are recorded alongside, plus every raw pair;
+    # any rule can be recomputed from the artifact.
     first_pair = pairs[0] if pairs else None
     run_small = first_pair["small"] if first_pair else {}
     run_big = first_pair["big"] if first_pair else {}
@@ -377,8 +375,9 @@ def main() -> None:
                 "--py-files-shipped package) on a 1.79GB 7-regime corpus "
                 "after a warmup job; the scaling phase runs FIRST, before "
                 "the query phase. Headline efficiency is the FIRST "
-                "(coldest-box) interleaved pair — a pre-registered rule: "
-                "round-3 trials showed pair efficiency declining with run "
+                "(coldest-box) interleaved pair — a convention fixed in "
+                "code ahead of the run, chosen from round-3 observations: "
+                "trials showed pair efficiency declining with run "
                 "index (0.986->0.79->0.66 within one run) as sustained load "
                 "heats this shared-bus VM, so the first pair is the closest "
                 "measurement to an idle cluster. efficiency_pooled "

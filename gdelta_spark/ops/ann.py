@@ -9,8 +9,8 @@ Operators:
   side, no cartesian blow-up beyond |queries| × |corpus|).
 
 - ``ann_lsh_best_pairs``: the scale path — BANDED random-hyperplane
-  (SimHash) bucketing: B_BANDS independent bands of R_PLANES hyperplanes
-  each; a band's R-bit sign signature is the LSH bucket key (a group-by /
+  (SimHash) bucketing: B_BANDS independent bands of planes_for(n)
+  hyperplanes each; a band's r-bit sign signature is the LSH bucket key (a group-by /
   join key, never an all-pairs join), and candidates are verified with
   the exact dot product inside the bucket. This mirrors the reference's
   own fingerprint -> bucket -> verify match probe
@@ -49,30 +49,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 QUANT = 10_000  # fixed-point scale: |component| <= 1 -> |q| <= 10000
 DIM = 64
 
-# Banded SimHash: B_BANDS independent bands of R_PLANES planes each. Two
-# vectors are candidates if they agree on ALL planes of ANY band. With
+# Banded SimHash: B_BANDS independent bands of planes_for(n) planes each.
+# Two vectors are candidates if they agree on ALL planes of ANY band. With
 # p = P(planes agree) = 1 - theta/pi, P(candidate) = 1-(1-p^r)^b — near-dups
 # (theta ~ 0) bucket with prob ~1 while random pairs land together only
 # 2^-r per band. r is the knob that bounds bucket WIDTH (see planes_for);
 # b is the recall knob.
 B_BANDS = 4
-R_PLANES = 8
-N_PLANES = B_BANDS * R_PLANES
-
+LSH_CELL_WIDTH = 16  # target expected bucket width for planes_for
+R_MAX = 30  # sig must fit a signed int32 bitmask
 _EVEN_HEX = list("02468ace")
 
 
-def planes_for(n_vectors: int, target_width: int = 1024) -> int:
+def planes_for(n_vectors: int, target_width: int = LSH_CELL_WIDTH) -> int:
     """Planes per band so the EXPECTED bucket width is <= target_width:
-    r = ceil(log2(n / W)). At n = 10^12 and W = 1024 this is r = 30 —
-    within-bucket self-join work is then sum(width^2) ~ (n/W) * W^2
-    = n*W per band, linear in the corpus. This is the vector analogue of
-    the reference sizing its match hash table to the input
-    (/root/reference/gdelta.cpp:321-328). The R_PLANES constant above is
-    this rule evaluated at the test corpus scale; a production deployment
-    calls this with the corpus count (signatures are cheap to recompute —
-    one pass — so r is chosen per ingest wave)."""
-    return max(1, math.ceil(math.log2(max(2, n_vectors) / target_width)))
+    r = clamp(ceil(log2(n / W)), 1, R_MAX). Within-bucket self-join work is
+    then sum(width^2) ~ (n/W) * W^2 = n*W per band, linear in the corpus —
+    the vector analogue of the reference sizing its match hash table to the
+    input (/root/reference/gdelta.cpp:321-328). EXECUTED by
+    simhash_band_sigs with the actual corpus count (r3 ADVICE: the rule
+    used to exist only as documentation): sf0.01 runs r=5, sf0.1 r=7 — and
+    the DuckDB oracles compute the identical rule in SQL, so the hash gate
+    checks the rule, not a constant. The R_MAX clamp keeps the per-band
+    signature inside an int32; past it (n > W * 2^30) expected width grows
+    as n / 2^30 — at 10^12 vectors that is width ~58, still far from
+    quadratic; shard the corpus before it matters."""
+    return min(R_MAX, max(1, math.ceil(math.log2(max(2, n_vectors) / target_width))))
 
 
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,15 +133,15 @@ def ann_topk(
     )
 
 
-def _plane_sign_lists() -> list[list[int]]:
-    """The N_PLANES x DIM ±1 sign matrix, computed driver-side with the
+def _plane_sign_lists(n_planes: int) -> list[list[int]]:
+    """The n_planes x DIM ±1 sign matrix, computed driver-side with the
     SAME md5-parity rule the SQL oracle uses (first hex char of
-    md5('p#d') even -> +1). Tiny (32x64) and deterministic — it ships into
-    the plan as literal arrays, not as a table."""
+    md5('p#d') even -> +1). Tiny (<= 120x64) and deterministic — it ships
+    into the plan as literal arrays, not as a table."""
     import hashlib
 
     signs = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for d in range(DIM):
             h = hashlib.md5(f"{p}#{d}".encode()).hexdigest()[0]
@@ -149,9 +151,10 @@ def _plane_sign_lists() -> list[list[int]]:
 
 
 def simhash_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, band, sig) — per band, the R_PLANES-bit bitmask of that
-    band's hyperplane-projection signs. The (band, sig) pair is the LSH
-    bucket key.
+    """(vec_id, band, sig) — per band, the planes_for(n)-bit bitmask of
+    that band's hyperplane-projection signs. The (band, sig) pair is the
+    LSH bucket key; r is derived from the ACTUAL corpus count, so bucket
+    width stays ~LSH_CELL_WIDTH at any scale.
 
     SHUFFLE-FREE: each projection is ``aggregate(zip_with(q, <literal ±1
     array>, x*s))`` — a whole-stage-codegen expression over the embedding
@@ -161,12 +164,13 @@ def simhash_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong" #3). The only row multiplication is the final explode to
     B_BANDS rows per vector — narrow, shuffle-free."""
     v = quantized_embeddings(spark, sf_dir)
-    signs = _plane_sign_lists()
+    r_planes = planes_for(n_vectors(spark, sf_dir))
+    signs = _plane_sign_lists(B_BANDS * r_planes)
     band_structs = []
     for band in range(B_BANDS):
         sig = F.lit(0)
-        for r in range(R_PLANES):
-            p = band * R_PLANES + r
+        for r in range(r_planes):
+            p = band * r_planes + r
             sgn_arr = F.array([F.lit(s) for s in signs[p]])
             proj = F.aggregate(
                 F.zip_with(F.col("q"), sgn_arr, lambda x, s: x * s),
@@ -563,20 +567,26 @@ SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
 
 _SIG_CTES = f"""
 {_DIMS_CTE},
+lshp AS (
+  SELECT CAST(LEAST({R_MAX}, GREATEST(1,
+           CEIL(LOG2(GREATEST(2, COUNT(*)) / {LSH_CELL_WIDTH}.0)))) AS INT) AS r
+  FROM embeddings
+),
 planes AS (
   SELECT p, d,
          CASE WHEN substr(md5(CAST(p AS VARCHAR) || '#' || CAST(d AS VARCHAR)), 1, 1)
                    IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS sgn
-  FROM range({N_PLANES}) t(p), range({DIM}) u(d)
+  FROM range({B_BANDS * R_MAX}) t(p), range({DIM}) u(d), lshp
+  WHERE p < {B_BANDS} * r
 ),
 proj AS (
   SELECT vec_id, p, SUM(sgn * qx) AS v
   FROM dims JOIN planes USING (d) GROUP BY 1, 2
 ),
 sig AS (
-  SELECT vec_id, CAST(p // {R_PLANES} AS INT) AS band,
-         CAST(SUM(CASE WHEN v > 0 THEN 1 << (p % {R_PLANES}) ELSE 0 END) AS INT) AS sig
-  FROM proj GROUP BY 1, 2
+  SELECT vec_id, CAST(p // r AS INT) AS band,
+         CAST(SUM(CASE WHEN v > 0 THEN 1 << (p % r) ELSE 0 END) AS INT) AS sig
+  FROM proj, lshp GROUP BY 1, 2
 )"""
 
 ANN_LSH_ORACLE = f"""

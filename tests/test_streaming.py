@@ -113,3 +113,52 @@ def test_first_seen_dedup_state(spark, tmp_path):
         fp("cc"): (3, 0),
         fp("dd"): (14, 1),  # wave-1-only key still emits
     }
+
+
+def test_append_watermark_exact_boundary(spark, tmp_path):
+    """Pin Spark's append-mode eviction when the watermark lands EXACTLY on
+    a window end (r3 ADVICE: the equality case was untested): with
+    max(ts) = 02:30:00 and a 30-minute watermark, the watermark is exactly
+    02:00:00 — the [01:00, 02:00) window's end. The streaming_window_append
+    oracle uses window_end <= watermark (inclusive); this test fails if
+    Spark's semantics ever disagree."""
+    import uuid
+
+    rows = [
+        (1, "2024-01-01 00:10:00", "a"),  # window [00:00, 01:00)
+        (2, "2024-01-01 01:10:00", "a"),  # window [01:00, 02:00) — boundary
+        (3, "2024-01-01 02:30:00", "a"),  # max ts; watermark = 02:00:00
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string").select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    inbox = str(tmp_path / "inbox")
+    ev.coalesce(1).write.parquet(inbox)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).parquet(inbox)
+    sink = f"bnd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {
+        r["ws"]
+        for r in spark.table(sink)
+        .select(F.date_format("w.start", "HH:mm").alias("ws"))
+        .collect()
+    }
+    # oracle predicate: end <= watermark -> 00:00 window (end 01:00 <= 02:00)
+    # AND 01:00 window (end 02:00 <= 02:00) emitted; 02:00 window withheld
+    assert emitted == {"00:00", "01:00"}, (
+        f"Spark append-mode emitted {emitted}; the streaming_window_append "
+        "oracle assumes window_end <= watermark (inclusive) — align the "
+        "oracle's comparison operator to the observed semantics"
+    )
