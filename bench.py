@@ -57,7 +57,59 @@ HEADLINE = [
 ]
 
 
-def _run_queries() -> tuple[dict[str, float], float, list[str]]:
+def _codec_breakdown(corpus: str, n_rows: int = 24000) -> dict | None:
+    """Machine-readable where-do-the-bytes-go: encode a corpus sample with
+    the real block kernel (auto chooser, cluster election, entropy
+    backstop) and report per-codec block counts / raw / encoded bytes plus
+    the zlib-backstop contribution (blocks wrapped, bytes it saved) — the
+    artifact form of 'where the compression ratio comes from'."""
+    import zlib
+
+    try:
+        import pyarrow.parquet as pq
+
+        from gdelta_spark import blocks
+        from gdelta_spark.codecs import core
+
+        tbl = pq.read_table(corpus, columns=["doc_id", "tokens", "source"])
+        by_source: dict[str, list[bytes]] = {}
+        srcs = tbl.column("source").to_pylist()
+        toks = tbl.column("tokens")
+        for i, s in enumerate(srcs):
+            if len(by_source.setdefault(s, [])) < n_rows // 7:
+                by_source[s].append(
+                    toks[i].values.to_numpy().astype("<i4").tobytes()
+                )
+        out: dict[str, dict] = {}
+        import numpy as np
+
+        for s, rows in by_source.items():
+            for lo in range(0, len(rows), 500):
+                chunk = rows[lo : lo + 500]
+                arrays = [np.frombuffer(r, dtype="<i4") for r in chunk]
+                blob, codec_id = blocks.encode_block_rows(
+                    arrays, base=chunk[0], rows_bytes=chunk
+                )
+                name = core.CODEC_NAMES.get(codec_id, str(codec_id))
+                st = out.setdefault(
+                    name,
+                    {"n_blocks": 0, "raw_bytes": 0, "enc_bytes": 0,
+                     "z_wrapped": 0, "z_saved_bytes": 0},
+                )
+                st["n_blocks"] += 1
+                st["raw_bytes"] += sum(len(r) for r in chunk)
+                st["enc_bytes"] += len(blob)
+                if blob[1] == blocks.BLOCK_VERSION_Z:
+                    st["z_wrapped"] += 1
+                    pre = len(zlib.decompress(blob[2:])) + 2
+                    st["z_saved_bytes"] += pre - len(blob)
+        return out
+    except Exception as exc:  # noqa: BLE001
+        print(f"codec breakdown failed: {exc}", file=sys.stderr)
+        return None
+
+
+def _run_queries() -> tuple[dict[str, float], float, list[str], dict | None]:
     import __spark_entry__ as entry_mod
     from gdelta_spark.pipeline.session import get_spark
 
@@ -74,11 +126,22 @@ def _run_queries() -> tuple[dict[str, float], float, list[str]]:
         print(f"warmup failed (continuing cold): {exc}", file=sys.stderr)
     times: dict[str, float] = {}
     failed: list[str] = []
+    recall_curve: dict | None = None
     total = 0.0
     for name in HEADLINE:
         t0 = time.time()
         try:
-            qs[name](spark, SF_DIR).collect()
+            rows = qs[name](spark, SF_DIR).collect()
+            if name == "ann_recall":
+                # machine-readable recall-vs-probe-cost curve (r3 VERDICT #7)
+                recall_curve = {
+                    str(r["nprobe"]): {
+                        "hits": int(r["n_hits"]),
+                        "exact": int(r["n_exact"]),
+                        "recall": round(int(r["n_hits"]) / max(1, int(r["n_exact"])), 4),
+                    }
+                    for r in rows
+                }
         except Exception as exc:  # noqa: BLE001 — one bad query must not
             # blank the whole artifact; record and move on (and surface it
             # in the top-level queries_failed list so a partial total can't
@@ -91,7 +154,7 @@ def _run_queries() -> tuple[dict[str, float], float, list[str]]:
         times[name] = round(dt, 3)
         total += dt
     spark.stop()
-    return times, total, failed
+    return times, total, failed, recall_curve
 
 
 def _gen_corpus(path: str) -> None:
@@ -301,7 +364,7 @@ def main() -> None:
             }
         )
 
-    queries, q_total, queries_failed = _run_queries()
+    queries, q_total, queries_failed, recall_curve = _run_queries()
     # Efficiency headline: the FIRST pair — the coldest-box convention,
     # chosen after round-3 trials showed pair efficiency declining with run
     # index in most runs (0.986->0.79->0.66; 0.951->0.788): the first pair
@@ -340,6 +403,8 @@ def main() -> None:
         "value": round(q_total, 3),
         "unit": "sec",
         "queries": queries,
+        "ann_recall_curve": recall_curve,
+        "codec_breakdown": _codec_breakdown(corpus),
         # non-empty => value covers only the queries that ran; never compare
         # a partial total against a full one
         "queries_failed": queries_failed,
