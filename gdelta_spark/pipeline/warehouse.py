@@ -87,10 +87,18 @@ class Warehouse:
     # 10^6-partition warehouse lists one file plus only the JSONs committed
     # since, instead of 10^6 small files (SCALE.md seam).
 
-    MANIFEST_TABLE = "_manifest_table.parquet"
+    # no leading underscore: Spark's path filter silently drops _-prefixed
+    # files, which would make the distributed committed_df read see an
+    # empty table (resume would silently re-encode everything)
+    MANIFEST_TABLE = "manifest-table.parquet"
+    _LEGACY_TABLE = "_manifest_table.parquet"
 
     def _table_path(self) -> str:
-        return os.path.join(self.manifest_dir, self.MANIFEST_TABLE)
+        path = os.path.join(self.manifest_dir, self.MANIFEST_TABLE)
+        legacy = os.path.join(self.manifest_dir, self._LEGACY_TABLE)
+        if not os.path.exists(path) and os.path.exists(legacy):
+            os.replace(legacy, path)  # one-time rename of pre-round-4 tables
+        return path
 
     def _json_manifests(self) -> dict[str, dict]:
         out = {}
