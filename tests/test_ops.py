@@ -239,3 +239,21 @@ def test_min_label_components_two_components(spark):
     )
     labels = {r["doc_id"]: r["label"] for r in min_label_components(pairs).collect()}
     assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_sizing_rules():
+    """The corpus-sizing rules (IVF cells, training sample stride, LSH
+    planes) — pure functions, pinned here so a refactor can't silently
+    change the oracle-matched behavior."""
+    from gdelta_spark.ops.ann import cells_for, km_sample_step, planes_for
+
+    assert cells_for(500) == 8  # sf0.01: floor keeps the minimum
+    assert cells_for(2000) == 32  # sf0.1 exercises the rule
+    assert cells_for(10**9) == 15_625_000  # k = ceil(n/64)
+    assert km_sample_step(500) == 2  # sampling exercised at sf0.01
+    assert km_sample_step(256) == 1
+    assert km_sample_step(10**9) == 3_906_250  # <= 256 training vectors
+    assert planes_for(500) == 5  # sf0.01
+    assert planes_for(2000) == 7  # sf0.1
+    assert planes_for(10**12) == 30  # R_MAX clamp (int32 signatures)
+    assert planes_for(1) == 1
