@@ -3,7 +3,7 @@
 ``--build`` trains the deterministic k-means codebook (ops/ann.py) and
 persists BOTH halves of the index as parquet tables:
 
-    <index>/codebook.parquet   (cell, cq: array<long>)      — N_CELLS rows
+    <index>/codebook.parquet   (cell, cq: array<long>)      — cells_for(n) rows
     <index>/cells.parquet      (vec_id, cell, q)            — corpus assignment
 
 ``--search`` reads the persisted index and answers top-k for a set of query
