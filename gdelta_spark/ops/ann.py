@@ -244,12 +244,26 @@ def cells_for(n_vectors: int) -> int:
 
 
 def km_sample_step(n_vectors: int) -> int:
-    """Deterministic training-sample stride: train on vec_id % step == 0 so
-    Lloyd rounds touch <= KM_SAMPLE_CAP vectors however big the corpus is
-    (assignment still covers the full corpus — that pass is the broadcast +
-    map-side max_by). vec_id-mod is engine-agnostic, so the DuckDB oracle
-    replays the same sample exactly."""
-    return max(1, -(-n_vectors // KM_SAMPLE_CAP))
+    """Deterministic training-sample stride: train on vec_id % step == 0.
+    The sample is sized to the CODEBOOK — ~32 training vectors per
+    centroid (floor KM_SAMPLE_CAP), so a bigger corpus with more cells
+    gets a proportionally bigger sample instead of starving 32 cells on
+    256 points (the round-4 sf0.1 recall fix). Assignment still covers the
+    full corpus — that pass is the broadcast + map-side max_by. vec_id-mod
+    is engine-agnostic, so the DuckDB oracle replays the same sample
+    exactly."""
+    cap = max(KM_SAMPLE_CAP, 32 * cells_for(n_vectors))
+    return max(1, -(-n_vectors // cap))
+
+
+def nprobe_for(k_cells: int) -> int:
+    """Default probe count scaled to the codebook: ceil(sqrt(k)). nprobe=1
+    probes 1/k of the corpus and its recall falls as k grows; sqrt(k)
+    probes keep the probed fraction at 1/sqrt(k) while candidate work per
+    query stays ~sqrt(k) * CELL_WIDTH — the standard IVF operating point.
+    ``ann_recall`` sweeps 1/2/4/nprobe_for(k) so the artifact records the
+    curve AND the scaled default."""
+    return max(1, math.isqrt(max(1, k_cells - 1)) + 1) if k_cells > 1 else 1
 
 
 # one trained codebook per (spark app, sf_dir): ann_ivf / ann_ivf2 /
@@ -445,7 +459,8 @@ def ann_recall(
     ranked = dists.withColumn("crnk", F.row_number().over(w_cell))
     cells = ranked.filter(F.col("crnk") == 1).select("vec_id", "cell", "q")
     rows = []
-    for nprobe in (1, 2, 4):
+    levels = sorted({1, 2, 4, nprobe_for(cells_for(n_vectors(spark, sf_dir)))})
+    for nprobe in levels:
         qcells = ranked.filter(
             (F.col("vec_id") < n_queries) & (F.col("crnk") <= nprobe)
         ).select(F.col("vec_id").alias("query_id"), "cell", F.col("q").alias("qq"))
@@ -644,9 +659,12 @@ def _km_ctes() -> str:
     parts = [
         f"""
 params AS (
-  SELECT GREATEST({N_CELLS}, CAST(CEIL(COUNT(*) / {CELL_WIDTH}.0) AS BIGINT)) AS k,
-         GREATEST(1, CAST(CEIL(COUNT(*) / {KM_SAMPLE_CAP}.0) AS BIGINT)) AS step
-  FROM embeddings
+  SELECT k,
+         GREATEST(1, CAST(CEIL(n / GREATEST({KM_SAMPLE_CAP}.0, 32.0 * k)) AS BIGINT)) AS step,
+         CAST(CEIL(SQRT(k)) AS INT) AS np
+  FROM (SELECT COUNT(*) AS n,
+               GREATEST({N_CELLS}, CAST(CEIL(COUNT(*) / {CELL_WIDTH}.0) AS BIGINT)) AS k
+        FROM embeddings) t
 )""",
         """
 trdims AS (
@@ -719,10 +737,11 @@ SELECT query_id, neighbor_id, dot, CAST(rnk AS INT) AS rnk FROM (
 ) WHERE rnk <= 5 ORDER BY query_id, rnk
 """
 
-def _ivf_hits_sql(nprobe: int) -> str:
+def _ivf_hits_sql(nprobe: "int | str") -> str:
     """n_hits CTE body for one nprobe level (candidates from the query's
     top-``nprobe`` cells, ranked by exact dot, top-5, intersected with
-    exact)."""
+    exact). ``nprobe`` may be a SQL scalar expression (the
+    corpus-scaled ``(SELECT np FROM params)`` level)."""
     return f"""
   SELECT {nprobe} AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits FROM (
     SELECT c.query_id, c.neighbor_id FROM (
@@ -759,8 +778,10 @@ hits AS (
 {_ivf_hits_sql(2)}
   UNION ALL
 {_ivf_hits_sql(4)}
+  UNION ALL
+{_ivf_hits_sql("(SELECT np FROM params)")}
 )
-SELECT CAST(nprobe AS INT) AS nprobe, n_hits,
+SELECT DISTINCT CAST(nprobe AS INT) AS nprobe, n_hits,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact
 FROM hits ORDER BY nprobe
 """

@@ -245,15 +245,20 @@ def test_sizing_rules():
     """The corpus-sizing rules (IVF cells, training sample stride, LSH
     planes) — pure functions, pinned here so a refactor can't silently
     change the oracle-matched behavior."""
-    from gdelta_spark.ops.ann import cells_for, km_sample_step, planes_for
+    from gdelta_spark.ops.ann import cells_for, km_sample_step, nprobe_for, planes_for
 
     assert cells_for(500) == 8  # sf0.01: floor keeps the minimum
     assert cells_for(2000) == 32  # sf0.1 exercises the rule
     assert cells_for(10**9) == 15_625_000  # k = ceil(n/64)
     assert km_sample_step(500) == 2  # sampling exercised at sf0.01
     assert km_sample_step(256) == 1
-    assert km_sample_step(10**9) == 3_906_250  # <= 256 training vectors
+    assert km_sample_step(2000) == 2  # sample ~32/centroid (1024 at k=32)
+    assert km_sample_step(10**9) == 2  # 32/centroid scales with k
     assert planes_for(500) == 5  # sf0.01
     assert planes_for(2000) == 7  # sf0.1
     assert planes_for(10**12) == 30  # R_MAX clamp (int32 signatures)
     assert planes_for(1) == 1
+    assert nprobe_for(8) == 3  # ceil(sqrt(k))
+    assert nprobe_for(32) == 6
+    assert nprobe_for(16) == 4
+    assert nprobe_for(1) == 1
