@@ -56,7 +56,7 @@ DIM = 64
 # 2^-r per band. r is the knob that bounds bucket WIDTH (see planes_for);
 # b is the recall knob.
 B_BANDS = 4
-LSH_CELL_WIDTH = 16  # target expected bucket width for planes_for
+LSH_CELL_WIDTH = 8  # target expected bucket width for planes_for
 R_MAX = 30  # sig must fit a signed int32 bitmask
 _EVEN_HEX = list("02468ace")
 
@@ -68,12 +68,15 @@ def planes_for(n_vectors: int, target_width: int = LSH_CELL_WIDTH) -> int:
     the vector analogue of the reference sizing its match hash table to the
     input (/root/reference/gdelta.cpp:321-328). EXECUTED by
     simhash_band_sigs with the actual corpus count (r3 ADVICE: the rule
-    used to exist only as documentation): sf0.01 runs r=5, sf0.1 r=7 — and
+    used to exist only as documentation): sf0.01 runs r=6, sf0.1 r=8 — and
     the DuckDB oracles compute the identical rule in SQL, so the hash gate
     checks the rule, not a constant. The R_MAX clamp keeps the per-band
     signature inside an int32; past it (n > W * 2^30) expected width grows
-    as n / 2^30 — at 10^12 vectors that is width ~58, still far from
-    quadratic; shard the corpus before it matters."""
+    as n / 2^30 — at 10^12 vectors that is width ~931, still far from
+    quadratic; shard the corpus before it matters. W=8 keeps band-agreement
+    probability for near-duplicates high (p^8 ~ 0.66/band at p=0.95, so
+    1-(1-p^r)^4 ~ 0.99 over 4 bands) while halving within-bucket verify
+    work vs W=16."""
     return min(R_MAX, max(1, math.ceil(math.log2(max(2, n_vectors) / target_width))))
 
 

@@ -254,8 +254,8 @@ def test_sizing_rules():
     assert km_sample_step(256) == 1
     assert km_sample_step(2000) == 2  # sample ~32/centroid (1024 at k=32)
     assert km_sample_step(10**9) == 2  # 32/centroid scales with k
-    assert planes_for(500) == 5  # sf0.01
-    assert planes_for(2000) == 7  # sf0.1
+    assert planes_for(500) == 6  # sf0.01
+    assert planes_for(2000) == 8  # sf0.1
     assert planes_for(10**12) == 30  # R_MAX clamp (int32 signatures)
     assert planes_for(1) == 1
     assert nprobe_for(8) == 3  # ceil(sqrt(k))
