@@ -144,6 +144,75 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64, n_frames: int = 4) -> Da
     )
 
 
+def resize_payload(df: DataFrame, out_bytes: int = 64) -> DataFrame:
+    """Nearest-neighbor resample of each payload to exactly ``out_bytes``
+    bytes — the 1-D form of an image resize (index arithmetic + gather; a
+    real 2-D resize is this per axis after ``decode_media``). Fully
+    vectorized per Arrow batch: one concat, one fancy gather of the
+    (rows x out_bytes) source index matrix, per-row checksums from the
+    reshaped matrix. Empty payloads produce no row (nothing to resize).
+
+    Output: (item_id, n_src, resized binary, rsum, rwsum) where rsum/rwsum
+    are the plain and position-weighted byte sums — integer checksums an
+    oracle engine can replay from the text side."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            raw = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            lens = np.fromiter(map(len, payloads), dtype=np.int64, count=len(payloads))
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            rows = np.flatnonzero(lens > 0)
+            if rows.size == 0:
+                yield pd.DataFrame(
+                    {"item_id": np.empty(0, np.int64), "n_src": np.empty(0, np.int64),
+                     "resized": [], "rsum": np.empty(0, np.int64),
+                     "rwsum": np.empty(0, np.int64)}
+                )
+                continue
+            row_idx = np.repeat(rows, out_bytes)
+            jj = np.tile(np.arange(out_bytes, dtype=np.int64), rows.size)
+            src = starts[row_idx] + (jj * lens[row_idx]) // out_bytes
+            mat = raw[src].reshape(rows.size, out_bytes)
+            w = np.arange(1, out_bytes + 1, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].to_numpy()[rows],
+                    "n_src": lens[rows],
+                    "resized": [mat[i].tobytes() for i in range(rows.size)],
+                    "rsum": mat.sum(axis=1, dtype=np.int64),
+                    "rwsum": (mat * w).sum(axis=1, dtype=np.int64),
+                }
+            )
+
+    return df.select("item_id", "payload").mapInPandas(
+        rs, "item_id long, n_src long, resized binary, rsum long, rwsum long"
+    )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of the resizer through the FULL binary path:
+    documents -> binary payload -> mapInPandas nearest-neighbor resize ->
+    checksum aggregate. Oracle-checkable: the payload is the (ASCII)
+    document text, so DuckDB replays the same index selection with
+    substr/ascii and the same md5 over the resampled string."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("item_id"), "source"
+    )
+    rz = resize_payload(documents_as_binary(spark, sf_dir))
+    return (
+        rz.join(d, "item_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("rsum").alias("sum_resized"),
+            F.sum("rwsum").alias("wsum_resized"),
+            F.countDistinct(F.md5("resized")).alias("n_distinct_resized"),
+        )
+        .orderBy("source")
+    )
+
+
 def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source byte-class feature rollup through the FULL binary path:
     documents -> binary payload -> mapInPandas featurizer -> aggregate."""
@@ -203,6 +272,29 @@ SELECT source, COUNT(*) AS n_frames,
        CAST(SUM(strlen(frame)) AS BIGINT) AS sum_frame_bytes,
        CAST(COUNT(DISTINCT md5(frame)) AS BIGINT) AS n_distinct_frames
 FROM fr GROUP BY source ORDER BY source
+"""
+
+
+# nearest-neighbor resample replayed in SQL: j in 0..63, src index
+# j*len(text)//64, byte value = ascii of that char (ASCII corpus), hash =
+# md5 of the resampled string in j order — identical to the binary path
+MULTIMODAL_RESIZE_ORACLE = """
+WITH r AS (
+  SELECT d.source, d.doc_id, j.j,
+         ascii(substr(d.text, CAST(j.j * strlen(d.text) // 64 AS INT) + 1, 1)) AS b
+  FROM documents d JOIN (SELECT unnest(range(64)) AS j) j ON strlen(d.text) > 0
+),
+per_row AS (
+  SELECT source, doc_id,
+         SUM(b) AS rsum, SUM((j + 1) * b) AS rwsum,
+         md5(string_agg(chr(b), '' ORDER BY j)) AS h
+  FROM r GROUP BY source, doc_id
+)
+SELECT source, COUNT(*) AS n_items,
+       CAST(SUM(rsum) AS BIGINT) AS sum_resized,
+       CAST(SUM(rwsum) AS BIGINT) AS wsum_resized,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_resized
+FROM per_row GROUP BY source ORDER BY source
 """
 
 

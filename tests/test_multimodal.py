@@ -52,3 +52,34 @@ def test_sample_frames_deterministic(spark):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError, match="no media codec"):
         multimodal.decode_media(b"\x89PNG", "image/png")
+
+
+def test_resize_payload_shapes(spark):
+    """Nearest-neighbor resize: every non-empty payload resamples to exactly
+    64 bytes; checksums match a per-row numpy reference; empty payloads
+    produce no row."""
+    import numpy as np
+
+    from gdelta_spark.ops.multimodal import resize_payload
+
+    rows = [
+        (1, b"short"),
+        (2, bytes(range(256)) * 4),
+        (3, b""),
+        (4, b"x" * 63),
+        (5, b"y" * 65),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {r["item_id"]: r for r in resize_payload(df).collect()}
+    assert set(got) == {1, 2, 4, 5}  # empty payload dropped
+    for item_id, payload in rows:
+        if not payload:
+            continue
+        r = got[item_id]
+        src = np.frombuffer(payload, np.uint8)
+        idx = (np.arange(64, dtype=np.int64) * len(payload)) // 64
+        want = src[idx]
+        assert bytes(r["resized"]) == want.tobytes(), item_id
+        assert r["n_src"] == len(payload)
+        assert r["rsum"] == int(want.sum())
+        assert r["rwsum"] == int((want.astype(np.int64) * np.arange(1, 65)).sum())
