@@ -92,3 +92,25 @@ def test_group_matches_single_fuzz(case):
     for g, r in zip(grp, rows):
         assert g == gdelta_encode(r, base)
         assert gdelta_decode(g, base) == r
+
+
+def test_rows_payload_uses_group_encoder_and_matches_single():
+    """The pipeline payload builder must produce the same bytes whichever
+    encoder path builds it (wiring regression: delta.gdelta_rows_payload
+    routes multi-row groups through gdelta_encode_group)."""
+    import struct
+
+    import numpy as np
+
+    from gdelta_spark.codecs import delta
+    from gdelta_spark.codecs.light import _pack_for
+    from gdelta_spark.fixtures import base_sequence, make_tokens
+
+    base = np.asarray(base_sequence(3, "near-dup"), np.int32).tobytes()
+    arrays = [np.asarray(make_tokens(3, "near-dup", i), np.int32) for i in range(12)]
+    rows = [a.astype("<i4").tobytes() for a in arrays]
+    payload = delta.gdelta_rows_payload(arrays, base, rows_bytes=rows)
+    blobs = [gdelta_encode(r, base) for r in rows]
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    want = struct.pack("<I", len(blobs)) + _pack_for(lens) + b"".join(blobs)
+    assert payload == want
