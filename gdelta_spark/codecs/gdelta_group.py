@@ -12,9 +12,12 @@ lockstep rounds and batches each round's array work across rows:
   ``_gear_fingerprints`` call covers the concatenation, ONE ``searchsorted``
   against a per-(bit,parity) sorted ``(slot<<32)|pos`` key array answers all
   rows' last-writer-wins table lookups (no per-row hash table at all).
-- EXTEND rounds: every extending row contributes its next comparison chunk;
-  ONE ``!=`` pass + one first-mismatch-per-segment reduction advances all
-  forward match extensions (chunks grow 8x per round).
+- Forward extensions complete INLINE at verify time: 1 KiB ``bytes`` block
+  compares (C memcmp) with halving refinement, falling through to one
+  numpy first-mismatch call past 8 KiB — near-dup extensions average
+  ~5 KiB, so inline compares beat a batched round trip and halve the
+  lockstep participations per row (an earlier EXTEND-round design was
+  measured slower on every regime).
 - Backward literal->copy runs are typically a handful of bytes — an inline
   Python byte loop with a numpy fallback past 64.
 
@@ -42,6 +45,7 @@ from gdelta_spark.codecs.gdelta_codec import (
     BaseIndex,
     _common_prefix_len,
     _common_suffix_len,
+    _first_mismatch,
     _last_mismatch_run,
     _gear_fingerprints,
     write_unit,
@@ -50,10 +54,8 @@ from gdelta_spark.codecs.gdelta_codec import (
 
 _SCAN0 = 1 << 6  # first scan chunk after a match: gaps are tiny on near-dup
 _SCANMAX = 1 << 18
-_EXT0 = 1 << 12  # first forward-extension chunk: matches are long
-_EXTMAX = 1 << 20
 
-_SCAN, _EXT, _STALE = 0, 1, 2
+_SCAN, _STALE = 0, 2
 
 
 class _Row:
@@ -61,7 +63,7 @@ class _Row:
         "i", "tgt", "tb", "m", "last_pos", "inst", "data",
         "beg", "beg_size", "end", "end_size", "base_lim", "bit",
         "lo", "hi", "p", "lit_from", "stale_cand", "state",
-        "chunk", "q", "off", "got", "cap", "echunk",
+        "chunk", "q", "off",
     )
 
 
@@ -96,7 +98,6 @@ def gdelta_encode_group(
     out: list[bytes | None] = [None] * len(rows_bytes)
 
     scanning: list[_Row] = []
-    extending: list[_Row] = []
 
     # ---- per-row pre-pass: elision, fast path, machine init ----
     for i, new in enumerate(rows_bytes):
@@ -160,18 +161,52 @@ def gdelta_encode_group(
 
     fps_full = bi.fps
 
+    def _extend_forward(tb: bytes, t0: int, b0: int, cap: int) -> int:
+        """Length of the common prefix of tb[t0:t0+cap] vs base[b0:b0+cap].
+        Pure-Python 1 KiB ``bytes`` block compares (C memcmp under the
+        hood) cover the common case — near-dup extensions average ~5 KiB,
+        so inline compares beat a batched-numpy round trip; a mismatching
+        block is refined by halving compares then a <=16-byte scan. Past
+        8 KiB (runs-style giant matches) the remainder falls through to
+        ONE numpy first-mismatch call."""
+        got = 0
+        blocks = 0
+        while got < cap and blocks < 8:
+            n = cap - got
+            if n > 1024:
+                n = 1024
+            if tb[t0 + got : t0 + got + n] == bb[b0 + got : b0 + got + n]:
+                got += n
+                blocks += 1
+                continue
+            lo = 0
+            while n - lo > 16:
+                half = (n - lo) >> 1
+                if (
+                    tb[t0 + got + lo : t0 + got + lo + half]
+                    == bb[b0 + got + lo : b0 + got + lo + half]
+                ):
+                    lo += half
+                else:
+                    n = lo + half
+            while lo < n and tb[t0 + got + lo] == bb[b0 + got + lo]:
+                lo += 1
+            return got + lo
+        if got < cap:
+            got += _first_mismatch(
+                np.frombuffer(bb, np.uint8, count=cap - got, offset=b0 + got),
+                np.frombuffer(tb, np.uint8, count=cap - got, offset=t0 + got),
+                cap - got,
+            )
+        return got
+
     def begin_extension(row: _Row, q: int, off: int) -> None:
-        """Match accepted at (q, off); set up forward extension state."""
+        """Match accepted at (q, off); extend forward inline and emit."""
         row.q, row.off = q, off
         cursor = q + STRLOOK
-        row.cap = min(row.base_lim - (off + STRLOOK), row.m - cursor)
-        row.got = 0
-        if row.cap <= 0:
-            finish_match(row, 0)
-        else:
-            row.echunk = _EXT0
-            row.state = _EXT
-            extending.append(row)
+        cap = min(row.base_lim - (off + STRLOOK), row.m - cursor)
+        j = _extend_forward(row.tb, cursor, off + STRLOOK, cap) if cap > 0 else 0
+        finish_match(row, j)
 
     def finish_match(row: _Row, j: int) -> None:
         """Emit units for the match (gdelta.cpp:411-455) and re-enter the
@@ -324,49 +359,14 @@ def gdelta_encode_group(
                 row.chunk = min(row.chunk * 8, _SCANMAX)
                 scanning.append(row)
 
-    def batch_extend(rows: list[_Row]) -> None:
-        clens = np.empty(len(rows), np.int64)
-        pa, pb = [], []
-        for k, row in enumerate(rows):
-            cl = min(row.echunk, row.cap - row.got)
-            clens[k] = cl
-            t0 = row.q + STRLOOK + row.got
-            b0 = row.off + STRLOOK + row.got
-            pa.append(row.tgt[t0 : t0 + cl])
-            pb.append(base8[b0 : b0 + cl])
-        offs = np.zeros(len(rows) + 1, np.int64)
-        np.cumsum(clens, out=offs[1:])
-        # ONE vectorized != pass over every row's chunk, then a per-segment
-        # argmax for the first mismatch — argmax returns the first True and
-        # costs one SIMD pass per segment, where a global cumsum/flatnonzero
-        # over the concat was the profiler's top line (extension chunks are
-        # megabytes per round)
-        neq = np.concatenate(pa) != np.concatenate(pb)
-        for k, row in enumerate(rows):
-            sl = neq[offs[k] : offs[k + 1]]
-            fm = int(sl.argmax())
-            if sl[fm]:
-                finish_match(row, row.got + fm)
-            else:
-                row.got += int(clens[k])
-                if row.got >= row.cap:
-                    finish_match(row, row.cap)
-                else:
-                    row.echunk = min(row.echunk * 8, _EXTMAX)
-                    extending.append(row)
-
-    # ---- lockstep rounds ----
-    while scanning or extending:
-        if extending:
-            batch, extending = extending, []
-            batch_extend(batch)
-        if scanning:
-            stale = [r for r in scanning if r.state == _STALE]
-            batch = [r for r in scanning if r.state == _SCAN]
-            scanning = []
-            for r in stale:
-                run_stale(r)
-            if batch:
-                batch_scan(batch)
+    # ---- lockstep rounds (scan-only: extensions complete inline) ----
+    while scanning:
+        stale = [r for r in scanning if r.state == _STALE]
+        batch = [r for r in scanning if r.state == _SCAN]
+        scanning = []
+        for r in stale:
+            run_stale(r)
+        if batch:
+            batch_scan(batch)
 
     return out  # type: ignore[return-value]
