@@ -262,3 +262,33 @@ def test_sizing_rules():
     assert nprobe_for(32) == 6
     assert nprobe_for(16) == 4
     assert nprobe_for(1) == 1
+
+
+def test_committed_df_json_wins_over_table(spark, tmp_path):
+    """The distributed manifest read must honor commit ordering: a JSON
+    manifest (newer) overrides the compacted table's entry for the same
+    part_id — a stale table row would make resume skip a partition whose
+    content changed."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdelta_spark.pipeline.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(root)
+    os.makedirs(wh.manifest_dir, exist_ok=True)
+    stale = [
+        {"part_id": "p/a", "key_hash": 1, "key_sum": 10, "input_rows": 5},
+        {"part_id": "p/b", "key_hash": 2, "key_sum": 20, "input_rows": 6},
+    ]
+    pq.write_table(pa.Table.from_pylist(stale), wh._table_path())
+    fresh = {"part_id": "p/a", "key_hash": 99, "key_sum": 990, "input_rows": 7}
+    with open(os.path.join(wh.manifest_dir, "p_a.json"), "w") as f:
+        _json.dump(fresh, f)
+    got = {r["part_id"]: r.asDict() for r in wh.committed_df(spark).collect()}
+    assert got["p/a"] == {"part_id": "p/a", "key_hash": 99, "key_sum": 990, "input_rows": 7}
+    assert got["p/b"]["key_hash"] == 2  # table entry without a JSON override survives
+    assert len(got) == 2
