@@ -23,8 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # corpus + rep tradeoff: per-STAGE scaling measures 0.92-0.96 at N=1 vs 4
 # (event-log evidence, BENCH.md), but the box drifts +-30% minute to
-# minute, so efficiency comes from the quietest SAME-WINDOW interleaved
-# pair (all pairs recorded) — more reps on a mid-size corpus beats one
+# minute, so efficiency is POOLED over all SAME-WINDOW interleaved pairs
+# (every raw pair recorded) — more reps on a mid-size corpus beats one
 # rep on a huge one. 150k rows = 1.79 GB tokens ~= 130 s/rep at N=1.
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "150000"))  # per corpus
 # scaling levels: N and 4N. Default N=1: this sandbox's JVM+Python pairing
@@ -333,7 +333,7 @@ def main() -> None:
     # Spark-job scaling runs FIRST, on the coldest box this process will
     # ever see (r2 VERDICT #1: the queries phase used to heat 32 cores for
     # ~60 s before the first scaling pair) — interleave N and 4N reps and
-    # headline the quietest same-window pair; every pair is recorded. A
+    # headline the POOLED efficiency over them; every pair is recorded. A
     # next rep only starts if the measured pair cost fits the budget, which
     # reserves room for the queries/kernel/decode phases that follow.
     n_small = SCALE_N
@@ -365,24 +365,30 @@ def main() -> None:
         )
 
     queries, q_total, queries_failed, recall_curve = _run_queries()
-    # Efficiency headline: the FIRST pair — the coldest-box convention,
-    # chosen after round-3 trials showed pair efficiency declining with run
-    # index in most runs (0.986->0.79->0.66; 0.951->0.788): the first pair
-    # runs before anything has heated 32 cores, the closest this VM gets to
-    # an idle cluster. It is a convention fixed IN CODE ahead of each run,
-    # not a post-hoc pick per run — but it was chosen knowing it is usually
-    # the most favorable pair (r3 ADVICE), so the pooled estimator over ALL
-    # pairs and the best pair are recorded alongside, plus every raw pair;
-    # any rule can be recomputed from the artifact.
+    # Efficiency headline: the POOLED estimator over every interleaved pair
+    # (sum of small walls / (4 x sum of big walls) — same corpus each rep,
+    # so walls are byte-equivalent). Rounds 3-4 showed per-pair efficiency
+    # drifts +-30% with box load in BOTH directions (r3 runs declined
+    # 0.986->0.66; the r4 driver run ASCENDED 0.672->0.898->1.166), so any
+    # single-pair rule — first, best, last — headlines one minute's noise.
+    # Pooling is robust to which minute is noisy: it measured 0.879 on the
+    # r4 driver run and 0.882-0.975 across four builder trials, vs
+    # first-pair spanning 0.672-1.043 on the same data. r3+r4 ADVICE/VERDICT
+    # both directed this switch. Every raw pair stays in all_pairs so any
+    # other rule is recomputable from the artifact.
     first_pair = pairs[0] if pairs else None
     run_small = first_pair["small"] if first_pair else {}
     run_big = first_pair["big"] if first_pair else {}
-    eff = first_pair["eff"] if first_pair else None
-    eff_pooled = None
+    eff_first = first_pair["eff"] if first_pair else None
+    eff = None
+    gbps_small_pooled = gbps_big_pooled = None
     if pairs:
-        sum_small = sum(p["wall_small"] for p in pairs)
-        sum_big = sum(p["wall_big"] for p in pairs)
-        eff_pooled = sum_small / (sum_big * n_big / n_small)
+        sum_small = sum(p["small"]["wall_sec"] for p in pairs)
+        sum_big = sum(p["big"]["wall_sec"] for p in pairs)
+        eff = sum_small / (sum_big * n_big / n_small)
+        token_bytes = run_big.get("token_bytes", 0)
+        gbps_small_pooled = len(pairs) * token_bytes / 1e9 / sum_small
+        gbps_big_pooled = len(pairs) * token_bytes / 1e9 / sum_big
 
     # kernel-level scaling: the encode compute in a process pool (isolates
     # the engine from Spark fixed stage costs; mirrors executor scale-out);
@@ -415,7 +421,9 @@ def main() -> None:
             "compression_ratio": (
                 round(run_big["raw_bytes"] / run_big["enc_bytes"], 2) if run_big else None
             ),
-            "gbps_localN": round(run_big["gbps"], 4) if run_big else None,
+            "gbps_localN": (
+                round(gbps_big_pooled, 4) if gbps_big_pooled else None
+            ),
             "size_vs_cpp_reference": _ref_size_ratio(corpus),
         },
         "decode": _decode_throughput(corpus),
@@ -423,11 +431,13 @@ def main() -> None:
             "cores_small": n_small,
             "cores_big": n_big,
             "mode": (run_big or {}).get("mode"),
-            "gbps_small": round(run_small["gbps"], 4) if run_small else None,
-            "gbps_big": round(run_big["gbps"], 4) if run_big else None,
+            "gbps_small": (
+                round(gbps_small_pooled, 4) if gbps_small_pooled else None
+            ),
+            "gbps_big": round(gbps_big_pooled, 4) if gbps_big_pooled else None,
             "efficiency": round(eff, 3) if eff is not None else None,
-            "efficiency_pooled": (
-                round(eff_pooled, 3) if eff_pooled is not None else None
+            "efficiency_first_pair": (
+                round(eff_first, 3) if eff_first is not None else None
             ),
             "efficiency_best_pair": (
                 round(max(p["eff"] for p in pairs), 3) if pairs else None
@@ -439,16 +449,15 @@ def main() -> None:
                 "N=1 vs 4N=4 SEPARATE executor JVMs (local-cluster[N,1,4096], "
                 "--py-files-shipped package) on a 1.79GB 7-regime corpus "
                 "after a warmup job; the scaling phase runs FIRST, before "
-                "the query phase. Headline efficiency is the FIRST "
-                "(coldest-box) interleaved pair — a convention fixed in "
-                "code ahead of the run, chosen from round-3 observations: "
-                "trials showed pair efficiency declining with run "
-                "index (0.986->0.79->0.66 within one run) as sustained load "
-                "heats this shared-bus VM, so the first pair is the closest "
-                "measurement to an idle cluster. efficiency_pooled "
-                "(sum small walls / 4x sum big walls over all pairs) and "
-                "efficiency_best_pair are recorded alongside, plus every "
-                "raw pair in all_pairs — any rule is recomputable from the "
+                "the query phase. Headline efficiency is the POOLED "
+                "estimator over all interleaved pairs: sum(small walls) / "
+                "(4 x sum(big walls)) — robust to single-minute box-load "
+                "noise in either direction (r3 runs saw per-pair eff "
+                "decline 0.986->0.66; the r4 driver run ascended "
+                "0.672->0.898->1.166; pooled measured 0.879-0.975 across "
+                "all of them). efficiency_first_pair and "
+                "efficiency_best_pair plus every raw pair in all_pairs are "
+                "recorded alongside — any rule is recomputable from the "
                 "artifact. Per-STAGE scaling (Spark event logs, quiet box): "
                 "scan 0.96, encode kernel 0.92."
             ),
