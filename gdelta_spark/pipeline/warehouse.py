@@ -30,6 +30,15 @@ def _safe(part_id: str) -> str:
     return part_id.replace("/", "__").replace("=", "-")
 
 
+def _mname(part_id: str) -> str:
+    """Manifest JSON filename. The fixed 'm-' prefix keeps the name from
+    ever starting with '_' or '.' (a source name like '_raw' would
+    otherwise produce a hidden file that Spark's path filter silently
+    drops, making the distributed committed_df read diverge from the
+    driver-side committed_manifests() — r4 ADVICE)."""
+    return "m-" + _safe(part_id) + ".json"
+
+
 def validate_tokens_schema(df: DataFrame) -> None:
     """Ingest validation of the north-rule input shape (SURVEY §1.2)."""
     need = {
@@ -142,18 +151,21 @@ class Warehouse:
         pq.write_table(pa.Table.from_pylist(rows), tmp, compression="zstd")
         os.replace(tmp, self._table_path())
         for part_id in jsons:
-            try:
-                os.remove(os.path.join(self.manifest_dir, _safe(part_id) + ".json"))
-            except FileNotFoundError:
-                pass
+            # 'm-'-prefixed is the current name; bare _safe is pre-round-5
+            for name in (_mname(part_id), _safe(part_id) + ".json"):
+                try:
+                    os.remove(os.path.join(self.manifest_dir, name))
+                except FileNotFoundError:
+                    pass
         return {"folded": len(jsons), "total": len(rows)}
 
     def _drop_manifests(self, part_ids: set[str]) -> None:
         """Remove manifests (JSON and/or table entries) for the given parts."""
         for part_id in part_ids:
-            p = os.path.join(self.manifest_dir, _safe(part_id) + ".json")
-            if os.path.exists(p):
-                os.remove(p)
+            for name in (_mname(part_id), _safe(part_id) + ".json"):
+                p = os.path.join(self.manifest_dir, name)
+                if os.path.exists(p):
+                    os.remove(p)
         table = self._table_manifests()
         keep = {k: v for k, v in table.items() if k not in part_ids}
         if len(keep) != len(table):
@@ -194,6 +206,18 @@ class Warehouse:
             srcs.append(
                 spark.read.schema(self._KEYS_SCHEMA)
                 .json(os.path.join(self.manifest_dir, "*.json"))
+                # a corrupt / partially-written JSON parses as an all-null
+                # row under the permissive schema; without this filter the
+                # max_by('_src') merge would let that null-key row override
+                # a valid compacted-table entry (silent re-encode) while
+                # the driver-side committed_manifests() raises on the same
+                # file — the two views must agree (r4 ADVICE)
+                .where(
+                    F.col("part_id").isNotNull()
+                    & F.col("key_hash").isNotNull()
+                    & F.col("key_sum").isNotNull()
+                    & F.col("input_rows").isNotNull()
+                )
                 .withColumn("_src", F.lit(1))
             )
         if not srcs:
@@ -209,14 +233,39 @@ class Warehouse:
             .select("part_id", "s.key_hash", "s.key_sum", "s.input_rows")
         )
 
+    # above this many committed partitions the manifest-key table (~60 B/row)
+    # nears Spark's practical broadcast ceiling; past it the anti-join falls
+    # back to a shuffle join and AQE picks the strategy (r4 VERDICT #3: at
+    # 10^7 partitions the committed side is GBs — never force-broadcast it)
+    BROADCAST_ROW_CEILING = 1_000_000
+
+    def committed_rows_estimate(self) -> int:
+        """Cheap driver-side row estimate of the committed-manifest store:
+        parquet footer row count + JSON file count (no data read)."""
+        import glob as _glob
+
+        n = len(_glob.glob(os.path.join(self.manifest_dir, "*.json")))
+        path = self._table_path()
+        if os.path.exists(path):
+            import pyarrow.parquet as pq
+
+            n += pq.ParquetFile(path).metadata.num_rows
+        return n
+
+    def maybe_broadcast_committed(self, committed: DataFrame) -> DataFrame:
+        if self.committed_rows_estimate() <= self.BROADCAST_ROW_CEILING:
+            return F.broadcast(committed)
+        return committed
+
     def pending(self, spark: SparkSession, salted_narrow: DataFrame) -> DataFrame:
         """Partitions whose (part_id, key_hash, key_sum, input_rows) is not
-        yet committed — a broadcast left-anti join (small manifest side).
+        yet committed — a left-anti join, broadcast while the manifest side
+        is provably small (footer-estimated), shuffle + AQE beyond that.
         ``salted_narrow`` needs only (part_id, doc_id, n_tok)."""
         keys = part_keys(salted_narrow)
-        committed = self.committed_df(spark)
+        committed = self.maybe_broadcast_committed(self.committed_df(spark))
         return keys.join(
-            F.broadcast(committed),
+            committed,
             ["part_id", "key_hash", "key_sum", "input_rows"],
             "left_anti",
         )
@@ -234,7 +283,7 @@ class Warehouse:
         pq.write_table(pa.Table.from_pandas(pdf_blocks), tmp, compression="zstd")
         os.replace(tmp, final)
 
-        mf = os.path.join(self.manifest_dir, _safe(part_id) + ".json")
+        mf = os.path.join(self.manifest_dir, _mname(part_id))
         mtmp = mf + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(mtmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
@@ -265,8 +314,18 @@ class Warehouse:
                 self._drop_manifests({by_safe[m]})
                 dropped_manifests.append(m)
         dropped_data = []
+        # fresh table snapshot for the re-check below, symmetric with the
+        # manifest-drop loop: the table only gains entries via compaction of
+        # JSONs, and those JSONs are re-checked per-file (r4 VERDICT #5)
+        table_safe = {_safe(k) for k in self._table_manifests()}
         for d in data - manifests:
-            if not os.path.exists(os.path.join(self.manifest_dir, d + ".json")):
+            # a commit racing the listings writes a JSON just before acting
+            # (check both the current 'm-' name and the pre-r5 bare name)
+            protected = d in table_safe or any(
+                os.path.exists(os.path.join(self.manifest_dir, name))
+                for name in ("m-" + d + ".json", d + ".json")
+            )
+            if not protected:
                 os.remove(os.path.join(self.blocks_dir, d + ".parquet"))
                 dropped_data.append(d)
         return {
@@ -339,7 +398,7 @@ def encode_and_commit(
     # checkpointed table instead of re-running the narrow scan (r3 ADVICE)
     keys = part_keys(salted_narrow).localCheckpoint()
     pending = keys.join(
-        F.broadcast(wh.committed_df(spark)),
+        wh.maybe_broadcast_committed(wh.committed_df(spark)),
         ["part_id", "key_hash", "key_sum", "input_rows"],
         "left_anti",
     ).localCheckpoint()

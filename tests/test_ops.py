@@ -292,3 +292,72 @@ def test_committed_df_json_wins_over_table(spark, tmp_path):
     assert got["p/a"] == {"part_id": "p/a", "key_hash": 99, "key_sum": 990, "input_rows": 7}
     assert got["p/b"]["key_hash"] == 2  # table entry without a JSON override survives
     assert len(got) == 2
+
+
+def test_committed_df_hidden_source_and_corrupt_json(spark, tmp_path):
+    """(r4 ADVICE) Two divergence hazards between the distributed
+    committed_df read and the driver-side committed_manifests():
+    1. a part_id starting with '_' must not produce a hidden JSON file
+       Spark's path filter would silently drop;
+    2. a corrupt/partial JSON must not parse as an all-null row that
+       overrides a valid compacted-table entry via max_by('_src')."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdelta_spark.pipeline.warehouse import Warehouse, _mname
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(root)
+
+    # hazard 1: hidden-prefix source name
+    hidden_part = "_raw/bucket=0"
+    assert not _mname(hidden_part).startswith(("_", "."))
+    m = {"part_id": hidden_part, "key_hash": 7, "key_sum": 70, "input_rows": 3}
+    with open(os.path.join(wh.manifest_dir, _mname(hidden_part)), "w") as f:
+        _json.dump(m, f)
+
+    # hazard 2: valid table entry + corrupt JSON for the same part
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"part_id": "p/c", "key_hash": 5, "key_sum": 50, "input_rows": 9}]
+        ),
+        wh._table_path(),
+    )
+    with open(os.path.join(wh.manifest_dir, "m-garbage.json"), "w") as f:
+        f.write('{"part_id": "p/c", "key_ha')  # truncated mid-write
+
+    got = {r["part_id"]: r.asDict() for r in wh.committed_df(spark).collect()}
+    assert got[hidden_part]["key_hash"] == 7  # the distributed read sees it
+    assert got["p/c"]["key_hash"] == 5  # table entry survives the corrupt JSON
+    assert len(got) == 2
+
+
+def test_pending_non_broadcast_path(spark, tmp_path, monkeypatch):
+    """(r4 VERDICT #6) Above BROADCAST_ROW_CEILING the committed side must
+    not be force-broadcast; resume semantics are identical either way."""
+    from gdelta_spark.pipeline import generator, warehouse
+
+    root = str(tmp_path / "wh")
+    tokens = generator.tokens_table(spark, rows_per_regime=8, num_partitions=2)
+    tokens.cache().count()
+    s1 = warehouse.encode_and_commit(spark, tokens, root, group_bytes=1 << 20)
+    assert s1["encoded"] > 0
+
+    monkeypatch.setattr(warehouse.Warehouse, "BROADCAST_ROW_CEILING", 0)
+    wh = warehouse.Warehouse(root)
+    assert wh.committed_rows_estimate() > 0
+    # above the ceiling the committed side gets NO broadcast hint (below it,
+    # it does — the with_salt stats join keeps its own hint either way)
+    committed = wh.committed_df(spark)
+    plain = wh.maybe_broadcast_committed(committed)
+    assert "Hint broadcast" not in plain._jdf.queryExecution().logical().toString()
+    monkeypatch.setattr(warehouse.Warehouse, "BROADCAST_ROW_CEILING", 10**6)
+    hinted = wh.maybe_broadcast_committed(committed)
+    assert "Hint broadcast" in hinted._jdf.queryExecution().logical().toString()
+    monkeypatch.setattr(warehouse.Warehouse, "BROADCAST_ROW_CEILING", 0)
+    # ...and the full pipeline still resumes correctly without it
+    s2 = warehouse.encode_and_commit(spark, tokens, root, group_bytes=1 << 20)
+    assert s2["encoded"] == 0 and s2["skipped"] == s1["partitions"]

@@ -62,7 +62,7 @@ def test_warehouse_commit_resume(spark, tokens_df, tmp_path):
     dropped = manifests[:: 2]
     for m in dropped:
         safe = m["part_id"].replace("/", "__")
-        os.remove(os.path.join(root, "manifests", safe + ".json"))
+        os.remove(os.path.join(root, "manifests", warehouse._mname(m["part_id"])))
         os.remove(os.path.join(root, "blocks", safe + ".parquet"))
     s3 = warehouse.encode_and_commit(spark, tokens_df, root, group_bytes=4 << 20)
     assert s3["encoded"] == len(dropped)
