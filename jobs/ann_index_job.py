@@ -1,9 +1,10 @@
 """Persisted IVF index: build once, search many — the production ANN shape.
 
-``--build`` trains the deterministic k-means codebook (ops/ann.py) and
-persists BOTH halves of the index as parquet tables:
+``--build`` trains the deterministic TWO-LEVEL k-means codebook
+(ops/ann.py) and persists all three halves of the index as parquet tables:
 
-    <index>/codebook.parquet   (cell, cq: array<long>)      — cells_for(n) rows
+    <index>/coarse.parquet     (cell, cq: array<long>)      — ~sqrt(k) rows
+    <index>/sub.parquet        (c1, sub, cq: array<long>)   — ~k rows, keyed by c1
     <index>/cells.parquet      (vec_id, cell, q)            — corpus assignment
 
 ``--search`` reads the persisted index and answers top-k for a set of query
@@ -35,9 +36,14 @@ from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
 def build_index(spark: SparkSession, sf_dir: str, index_dir: str) -> dict:
     from gdelta_spark.ops import ann
 
-    cents = ann.kmeans_centroids(spark, sf_dir)
-    cents.write.mode("overwrite").parquet(f"{index_dir}/codebook.parquet")
-    cells = ann._assign_cells(ann.quantized_embeddings(spark, sf_dir), cents)
+    coarse, sub, k2 = ann.kmeans_codebooks(spark, sf_dir)
+    coarse.write.mode("overwrite").parquet(f"{index_dir}/coarse.parquet")
+    sub.withColumn("k2", F.lit(k2)).write.mode("overwrite").parquet(
+        f"{index_dir}/sub.parquet"
+    )
+    cells = ann._assign_two_level(
+        ann.quantized_embeddings(spark, sf_dir), coarse, sub, k2
+    )
     cells.write.mode("overwrite").parquet(f"{index_dir}/cells.parquet")
     sizes = (
         spark.read.parquet(f"{index_dir}/cells.parquet")
@@ -61,24 +67,20 @@ def search_index(
 ) -> DataFrame:
     """Top-k by quantized dot product over the persisted index. Query
     vectors are looked up in the cells table (they are corpus members);
-    their ``nprobe`` nearest cells come from the broadcast codebook."""
+    their ``nprobe`` probe cells come from the persisted two-level
+    codebook via the SAME ranking rule the direct queries use
+    (ann.query_probe_cells), so search-over-index == direct search."""
     from gdelta_spark.ops import ann
 
     cells = spark.read.parquet(f"{index_dir}/cells.parquet")
-    cents = spark.read.parquet(f"{index_dir}/codebook.parquet")
+    coarse = spark.read.parquet(f"{index_dir}/coarse.parquet")
+    sub_t = spark.read.parquet(f"{index_dir}/sub.parquet")
+    k2 = sub_t.select("k2").first()["k2"]
+    sub = sub_t.select("c1", "sub", "cq")
     qv = cells.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
-    qdists = qv.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qq", "cell",
-        ann._sqdist(F.col("qq"), F.col("cq")).alias("dist2"),
-    )
-    w_cell = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cell"))
-    qcells = (
-        qdists.withColumn("crnk", F.row_number().over(w_cell))
-        .filter(F.col("crnk") <= nprobe)
-        .select("query_id", "cell", "qq")
-    )
+    qcells = ann.query_probe_cells(qv, coarse, sub, k2, nprobe)
     dotted = (
         cells.join(F.broadcast(qcells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
