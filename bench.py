@@ -71,15 +71,29 @@ def _codec_breakdown(corpus: str, n_rows: int = 24000) -> dict | None:
         from gdelta_spark import blocks
         from gdelta_spark.codecs import core
 
-        tbl = pq.read_table(corpus, columns=["doc_id", "tokens", "source"])
+        # stream row batches and stop once every source hit its cap — the
+        # corpus tokens column is GBs and must never be resident at once
+        # (r4 ADVICE: pq.read_table here made the breakdown step's peak
+        # memory corpus-sized)
+        import pyarrow.dataset as pads
+
+        cap = n_rows // 7
         by_source: dict[str, list[bytes]] = {}
-        srcs = tbl.column("source").to_pylist()
-        toks = tbl.column("tokens")
-        for i, s in enumerate(srcs):
-            if len(by_source.setdefault(s, [])) < n_rows // 7:
-                by_source[s].append(
-                    toks[i].values.to_numpy().astype("<i4").tobytes()
-                )
+        scanner = pads.dataset(corpus, format="parquet").scanner(
+            columns=["tokens", "source"], batch_size=2048
+        )
+        for batch in scanner.to_batches():
+            srcs = batch.column("source").to_pylist()
+            toks = batch.column("tokens")
+            for i, s in enumerate(srcs):
+                if len(by_source.setdefault(s, [])) < cap:
+                    by_source[s].append(
+                        toks[i].values.to_numpy().astype("<i4").tobytes()
+                    )
+            # sources interleave row-by-row (generator: gid % n_regimes),
+            # so once every seen source is at cap nothing new can appear
+            if by_source and all(len(v) >= cap for v in by_source.values()):
+                break
         out: dict[str, dict] = {}
         import numpy as np
 
