@@ -307,14 +307,18 @@ def gdelta_encode_group(
 
     def batch_scan(rows: list[_Row]) -> None:
         # window/fps concat across all rows of this round
-        scanlens = np.empty(len(rows), np.int64)
+        sl_list = []
         pieces = []
-        for k, row in enumerate(rows):
-            sl = min(row.chunk, row.last_pos + 1 - row.p)
-            scanlens[k] = sl
+        for row in rows:
+            sl = row.last_pos + 1 - row.p
+            if sl > row.chunk:
+                sl = row.chunk
+            sl_list.append(sl)
             pieces.append(row.tgt[row.p : row.p + sl + STRLOOK - 1])
+        scanlens = np.array(sl_list, np.int64)
         offs = np.zeros(len(rows) + 1, np.int64)
         np.cumsum([p.size for p in pieces], out=offs[1:])
+        off_list = offs.tolist()
         fps_all = _gear_fingerprints(np.concatenate(pieces))
         # valid fps for row k live at [offs[k], offs[k]+scanlens[k])
         # (the window tail's fps cross into the next row's bytes — discarded)
@@ -326,9 +330,9 @@ def gdelta_encode_group(
         # table gather pays ~3ns, so they use the per-row cached table
         # instead (identical winners; differential-tested).
         groups: dict[tuple[int, int], list[int]] = {}
-        hits_by_row: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        hits_by_row: dict[int, tuple[list[int], list[int]]] = {}
         for k, row in enumerate(rows):
-            if scanlens[k] >= 2048:
+            if sl_list[k] >= 2048:
                 table = bi.table(base8, row.beg_size, row.end_size, row.bit)
             else:
                 # short chunks: a dense table is only worth a gather if some
@@ -336,15 +340,15 @@ def gdelta_encode_group(
                 # one for a short gap
                 table = bi.tables.get((row.beg_size, row.end_size, row.bit))
             if table is not None:
-                f = fps_all[offs[k] : offs[k] + scanlens[k]]
+                f = fps_all[off_list[k] : off_list[k] + sl_list[k]]
                 entry = table[(f >> np.uint64(64 - row.bit)).view(np.int64)]
                 ok = entry != 0
                 ok &= ((entry ^ f) & np.uint64(0xFFFFFFFF)) == 0
                 hit = np.flatnonzero(ok)
                 if hit.size:
                     hits_by_row[k] = (
-                        hit + row.p,
-                        (entry[hit] >> np.uint64(32)).astype(np.int64),
+                        (hit + row.p).tolist(),
+                        (entry[hit] >> np.uint64(32)).astype(np.int64).tolist(),
                     )
             else:
                 groups.setdefault((row.bit, row.lo & 1), []).append(k)
@@ -354,35 +358,69 @@ def gdelta_encode_group(
             if key.size == 0:  # base too small to index (< one window)
                 continue
             f = np.concatenate(
-                [fps_all[offs[k] : offs[k] + scanlens[k]] for k in ks]
+                [fps_all[off_list[k] : off_list[k] + sl_list[k]] for k in ks]
             )
             lens = scanlens[ks]
-            his = np.repeat(
-                np.array([rows[k].hi for k in ks], np.uint64), lens
+            his1 = np.repeat(
+                np.array([rows[k].hi - 1 for k in ks], np.int64), lens
             )
             los = np.repeat(np.array([rows[k].lo for k in ks], np.int64), lens)
             s = f >> np.uint64(64 - bit)
-            qkey = (s << np.uint64(32)) | (his - np.uint64(1))
-            j = np.searchsorted(key, qkey, side="right") - 1
-            kj = key[np.maximum(j, 0)]
-            pos = (kj & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            ok = j >= 0
-            ok &= (kj >> np.uint64(32)) == s
-            ok &= pos >= los
-            ok &= fps_full[pos] == f  # full-64-bit prefilter (conservative)
+            dg = bi.dense_global(bit, parity)
+            if dg is not None:
+                # dense path: one gather answers the probe whenever the
+                # slot's GLOBAL max position falls inside [lo, hi) — it is
+                # then the windowed last-writer-wins winner. Probes whose
+                # global max overshoots hi-1 (winner may be a smaller
+                # position in the same slot) fall back to the sorted-key
+                # searchsorted on just that subset.
+                entry = dg[s.view(np.int64)]
+                pos = (entry >> np.uint64(32)).astype(np.int64)
+                ok = (pos >= los) & (pos <= his1)
+                ok &= fps_full[pos] == f  # full-64-bit prefilter
+                over = np.flatnonzero(pos > his1)
+                if over.size:
+                    so = s[over]
+                    qkey = (so << np.uint64(32)) | his1[over].view(np.uint64)
+                    j = np.searchsorted(key, qkey, side="right") - 1
+                    kj = key[np.maximum(j, 0)]
+                    po = (kj & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                    ok2 = j >= 0
+                    ok2 &= (kj >> np.uint64(32)) == so
+                    ok2 &= po >= los[over]
+                    ok2 &= fps_full[po] == f[over]
+                    sub = np.flatnonzero(ok2)
+                    if sub.size:
+                        ok[over[sub]] = True
+                        pos[over[sub]] = po[sub]
+            else:
+                qkey = (s << np.uint64(32)) | his1.view(np.uint64)
+                j = np.searchsorted(key, qkey, side="right") - 1
+                kj = key[np.maximum(j, 0)]
+                pos = (kj & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ok = j >= 0
+                ok &= (kj >> np.uint64(32)) == s
+                ok &= pos >= los
+                ok &= fps_full[pos] == f  # full-64-bit prefilter
             hit = np.flatnonzero(ok)
             if hit.size == 0:
                 continue
             sub_offs = np.zeros(len(ks) + 1, np.int64)
             np.cumsum(lens, out=sub_offs[1:])
-            owner = np.searchsorted(sub_offs, hit, side="right") - 1
-            cpos = pos[hit]
-            for o in np.unique(owner):
-                msk = owner == o
-                k = ks[int(o)]
+            # hit is ascending, so per-owner hits are consecutive runs:
+            # slice segment boundaries instead of a boolean mask per owner
+            bounds = np.searchsorted(hit, sub_offs).tolist()
+            hit_l = hit.tolist()
+            cpos_l = pos[hit].tolist()
+            sub_l = sub_offs.tolist()
+            for o, k in enumerate(ks):
+                gs, ge = bounds[o], bounds[o + 1]
+                if gs == ge:
+                    continue
+                shift = rows[k].p - sub_l[o]
                 hits_by_row[k] = (
-                    hit[msk] - sub_offs[o] + rows[k].p,
-                    cpos[msk],
+                    [q + shift for q in hit_l[gs:ge]],
+                    cpos_l[gs:ge],
                 )
 
         # per-row resolution: first exactly-verifying candidate wins (the
@@ -392,14 +430,14 @@ def gdelta_encode_group(
             hb = hits_by_row.get(k)
             if hb is not None:
                 tb = row.tb
-                for q, c in zip(hb[0].tolist(), hb[1].tolist()):
+                for q, c in zip(hb[0], hb[1]):
                     if tb[q : q + STRLOOK] == bb[c : c + STRLOOK]:
                         begin_extension(row, q, c)
                         matched = True
                         break
             if matched:
                 continue
-            p = row.p + int(scanlens[k])
+            p = row.p + sl_list[k]
             if p > row.last_pos:
                 out[row.i] = _finish_row(row, base_size)
             else:
