@@ -114,3 +114,23 @@ def test_rows_payload_uses_group_encoder_and_matches_single():
     lens = np.array([len(b) for b in blobs], dtype=np.int64)
     want = struct.pack("<I", len(blobs)) + _pack_for(lens) + b"".join(blobs)
     assert payload == want
+
+
+def test_dense_global_winner_equals_searchsorted(monkeypatch):
+    """The dense-global winner table (one gather per probe, searchsorted
+    fallback only past the window cap) must produce the same blobs as the
+    pure sorted-key searchsorted query it replaced, on every regime —
+    including rows with suffix elision, where the global slot max can sit
+    inside the elided tail and the fallback path must fire."""
+    from gdelta_spark.codecs.gdelta_codec import BaseIndex
+
+    for regime in REGIMES:
+        rows = [
+            make_tokens(7, regime, i).astype("<i4").tobytes() for i in range(12)
+        ]
+        base = rows[0]
+        dense = gdelta_encode_group(rows, base, BaseIndex(base))
+        monkeypatch.setattr(BaseIndex, "_DENSE_MAX_BIT", -1)
+        plain = gdelta_encode_group(rows, base, BaseIndex(base))
+        monkeypatch.undo()
+        assert dense == plain, regime
