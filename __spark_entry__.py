@@ -641,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_rle": _q_roundtrip("rle"),
         "roundtrip_for": _q_roundtrip("for"),
         "roundtrip_fsst": _q_roundtrip("fsst"),
+        "roundtrip_dbp": _q_roundtrip("dbp"),
         "roundtrip_raw": _q_roundtrip("raw"),
         "tokenize_stats": _q_tokenize_stats,
         "vocab_topk": _q_vocab_topk,
@@ -734,6 +735,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_rle": _ROUNDTRIP_ORACLE,
         "roundtrip_for": _ROUNDTRIP_ORACLE,
         "roundtrip_fsst": _ROUNDTRIP_ORACLE,
+        "roundtrip_dbp": _ROUNDTRIP_ORACLE,
         "roundtrip_raw": _ROUNDTRIP_ORACLE,
         "tokenize_stats": _STATS_ORACLE,
         "vocab_topk": (

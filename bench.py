@@ -77,7 +77,9 @@ def _codec_breakdown(corpus: str, n_rows: int = 24000) -> dict | None:
         # memory corpus-sized)
         import pyarrow.dataset as pads
 
-        cap = n_rows // 7
+        from gdelta_spark import fixtures
+
+        cap = n_rows // len(fixtures.REGIMES)
         by_source: dict[str, list[bytes]] = {}
         scanner = pads.dataset(corpus, format="parquet").scanner(
             columns=["tokens", "source"], batch_size=2048
@@ -340,7 +342,11 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "8"))
     deadline = time.time() + int(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1500"))
 
-    corpus = f"/tmp/gdelta_bench_tokens_{BENCH_ROWS}"
+    from gdelta_spark import fixtures
+
+    # regime count in the cache key: a fixture-regime change (e.g. round
+    # 5's appended 'monotonic') must regenerate, not reuse, the corpus
+    corpus = f"/tmp/gdelta_bench_tokens_{BENCH_ROWS}_r{len(fixtures.REGIMES)}"
     if not os.path.exists(corpus + "/_SUCCESS"):
         _gen_corpus(corpus)
 

@@ -40,6 +40,7 @@ class BlockStats:
     n_runs: int
     value_range: int
     base_similarity: float  # sampled gdelta ratio vs base (1.0 = incompressible)
+    delta_width: float  # mean per-miniblock zigzag-delta bit width (sampled)
 
 
 def probe_similarity(sample_rows: list[np.ndarray], base: bytes | None) -> float:
@@ -62,13 +63,21 @@ def probe_similarity(sample_rows: list[np.ndarray], base: bytes | None) -> float
 
 
 def collect_stats(values: np.ndarray, sample_rows: list[np.ndarray], base: bytes | None) -> BlockStats:
+    from gdelta_spark.codecs.light import _mini_widths
+
     v = values if values.size <= SAMPLE_TOKENS else values[: SAMPLE_TOKENS]
     v64 = v.astype(np.int64, copy=False)
     card = int(np.unique(v).size)
     n_runs = int((np.diff(v64) != 0).sum()) + 1 if v.size else 0
     rng = int(v64.max() - v64.min()) if v.size else 0
     sim = probe_similarity(sample_rows, base)
-    return BlockStats(int(values.size), card, n_runs, rng, sim)
+    if v.size > 1:
+        d = np.diff(v64)
+        _, widths = _mini_widths(((d << 1) ^ (d >> 63)).view(np.uint64))
+        dw = float(widths.mean())
+    else:
+        dw = 0.0
+    return BlockStats(int(values.size), card, n_runs, rng, sim, dw)
 
 
 def estimate_bytes(stats: BlockStats) -> dict[str, float]:
@@ -80,6 +89,7 @@ def estimate_bytes(stats: BlockStats) -> dict[str, float]:
     runs = max(int(stats.n_runs * (stats.n / max(min(stats.n, SAMPLE_TOKENS), 1))), 1)
     est["rle"] = runs * (bit_width(stats.value_range) + 16) / 8 + 64
     est["for"] = n * bit_width(stats.value_range) / 8 + 16
+    est["dbp"] = n * stats.delta_width / 8 + n / 128 + 16
     est["gdelta"] = 4.0 * n * stats.base_similarity + 16
     return est
 

@@ -26,6 +26,7 @@ RLE = 2
 FOR = 3
 FSST = 4
 GDELTA = 5
+DBP = 6
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -34,6 +35,7 @@ CODEC_NAMES = {
     FOR: "for",
     FSST: "fsst",
     GDELTA: "gdelta",
+    DBP: "dbp",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

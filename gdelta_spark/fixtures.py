@@ -11,7 +11,16 @@ from __future__ import annotations
 
 import numpy as np
 
-REGIMES = ("near-dup", "runs", "lowcard", "narrow", "texty", "random", "mixed-dup")
+REGIMES = (
+    "near-dup",
+    "runs",
+    "lowcard",
+    "narrow",
+    "texty",
+    "random",
+    "mixed-dup",
+    "monotonic",  # appended: REGIMES.index() keys the seeds of earlier regimes
+)
 
 _EXPECTED_WINNER = {
     "near-dup": "gdelta",
@@ -21,6 +30,7 @@ _EXPECTED_WINNER = {
     "texty": "fsst",
     "random": "raw",
     "mixed-dup": "gdelta",  # requires per-cluster base election
+    "monotonic": "dbp",  # tiny deltas, huge absolute range
 }
 
 
@@ -126,6 +136,16 @@ def make_tokens(seed: int, regime: str, i: int) -> np.ndarray:
         return np.concatenate(out)[:n].astype(np.int32)
     if regime == "random":
         return rng.integers(-(1 << 31), (1 << 31) - 1, n, dtype=np.int64).astype(np.int32)
+    if regime == "monotonic":
+        # ascending ids/offsets/timestamps: absolute range is huge (FOR pays
+        # ~bit_width(start+n*step) per value) but consecutive deltas are a
+        # few bits, with rare spikes that widen only their own miniblock —
+        # the delta-bitpack (dbp) design point.
+        start = int(rng.integers(0, 1 << 29))
+        steps = rng.geometric(0.25, n).astype(np.int64)  # mostly 1..8
+        spikes = rng.random(n) < 0.002
+        steps[spikes] += rng.integers(1 << 12, 1 << 16, int(spikes.sum()))
+        return (start + np.cumsum(steps)).astype(np.int32)
     raise ValueError(f"unknown regime {regime!r}")
 
 

@@ -34,7 +34,7 @@ def test_chooser_is_near_optimal(regime):
     values = np.concatenate(rows)
     chosen, est = chooser.choose_codec(values, rows[:3], base)
     sizes = {}
-    for cid in [core.RAW, core.DICT, core.RLE, core.FOR, core.FSST, core.GDELTA]:
+    for cid in [core.RAW, core.DICT, core.RLE, core.FOR, core.FSST, core.DBP, core.GDELTA]:
         sizes[cid] = len(core.encode_block(values, cid, base=base))
     best = min(sizes.values())
     assert sizes[chosen] <= best * 1.10, (

@@ -43,7 +43,7 @@ def test_gdelta_selfconsistent(pair):
     assert gdelta_decode(delta, base) == target
 
 
-@pytest.mark.parametrize("cid", [core.RAW, core.DICT, core.RLE, core.FOR, core.FSST])
+@pytest.mark.parametrize("cid", [core.RAW, core.DICT, core.RLE, core.FOR, core.FSST, core.DBP])
 @settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(data=st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=2000))
 def test_codec_roundtrip_any_int32(cid, data):

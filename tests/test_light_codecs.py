@@ -27,7 +27,7 @@ ARRAYS = {
     },
 }
 
-NON_DELTA = [core.RAW, core.DICT, core.RLE, core.FOR, core.FSST]
+NON_DELTA = [core.RAW, core.DICT, core.RLE, core.FOR, core.FSST, core.DBP]
 
 
 @pytest.mark.parametrize("cid", NON_DELTA, ids=[core.CODEC_NAMES[c] for c in NON_DELTA])
@@ -118,6 +118,9 @@ def test_compression_effective():
         "runs": (core.RLE, 0.05),
         "lowcard": (core.DICT, 0.3),
         "narrow": (core.FOR, 0.3),
+        # short rows: each concat boundary + per-row spike widens one whole
+        # 128-value miniblock, so small blocks sit ~0.4; long runs go lower
+        "monotonic": (core.DBP, 0.45),
     }
     for regime, (cid, ratio) in checks.items():
         arr = np.concatenate([fixtures.make_tokens(42, regime, i) for i in range(4)])

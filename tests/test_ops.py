@@ -6,6 +6,7 @@ import os
 
 import pyspark.sql.functions as F
 
+from gdelta_spark import fixtures
 from gdelta_spark.pipeline import decode as decode_mod
 from gdelta_spark.pipeline import generator, partitioning, serde, warehouse
 
@@ -65,7 +66,7 @@ def test_decode_job_cli(spark, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-    assert json.loads(line)["rows"] == 56
+    assert json.loads(line)["rows"] == 8 * len(fixtures.REGIMES)
     # decoded table matches source exactly
     src = spark.read.parquet(inp).select("doc_id", "tokens")
     dec = spark.read.parquet(out).withColumnRenamed("tokens", "t2")
@@ -95,7 +96,7 @@ def test_verify_job_cli_local_mode(spark, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-1500:]
     out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
-    assert out == {"rows": 56, "mismatches": 0, "ok": True, "mode": "local"}
+    assert out == {"rows": 8 * len(fixtures.REGIMES), "mismatches": 0, "ok": True, "mode": "local"}
 
 
 def test_manifest_compaction(spark, tmp_path):
