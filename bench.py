@@ -338,6 +338,23 @@ def _ref_size_ratio(corpus: str, n_pairs: int = 24) -> float | None:
         return None
 
 
+def _membw_probe() -> float:
+    """Single-core streaming memory bandwidth (GB/s), best of 3 — recorded
+    before/after the Spark scaling pairs so the artifact self-documents the
+    box window: a neighbor saturating the memory bus (observed as low as
+    0.3 GB/s vs ~10 quiet) depresses every wall in the window, and the
+    4N level roughly 4x harder than N."""
+    import numpy as np
+
+    a = np.zeros(50_000_000, dtype=np.int64)  # 400 MB, past any cache
+    best = float("inf")
+    for _ in range(3):
+        t = time.perf_counter()
+        a *= 1
+        best = min(best, time.perf_counter() - t)
+    return round(0.8 / best, 2)  # 400 MB read + 400 MB write
+
+
 def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "8"))
     deadline = time.time() + int(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "1500"))
@@ -358,6 +375,7 @@ def main() -> None:
     # reserves room for the queries/kernel/decode phases that follow.
     n_small = SCALE_N
     n_big = SCALE_N * 4
+    membw_before = _membw_probe()
     pairs: list[dict] = []
     rep_cost = 0.0
     scaling_reserve = 420  # seconds kept for queries + kernel + decode
@@ -384,6 +402,7 @@ def main() -> None:
             }
         )
 
+    membw_after = _membw_probe()
     queries, q_total, queries_failed, recall_curve = _run_queries()
     # Efficiency headline: the POOLED estimator over every interleaved pair
     # (sum of small walls / (4 x sum of big walls) — same corpus each rep,
@@ -465,9 +484,13 @@ def main() -> None:
             "all_pairs": [
                 {k: p[k] for k in ("wall_small", "wall_big", "eff")} for p in pairs
             ],
+            # box-window quality: 1-core streaming membw before/after the
+            # pairs (quiet box ~10 GB/s; noisy-neighbor windows measured
+            # 0.3). Low values depress the 4N level ~4x harder than N.
+            "box_membw_gbps": {"before": membw_before, "after": membw_after},
             "notes": (
                 "N=1 vs 4N=4 SEPARATE executor JVMs (local-cluster[N,1,4096], "
-                "--py-files-shipped package) on a 1.79GB 7-regime corpus "
+                "--py-files-shipped package) on a 1.66GB 8-regime corpus "
                 "after a warmup job; the scaling phase runs FIRST, before "
                 "the query phase. Headline efficiency is the POOLED "
                 "estimator over all interleaved pairs: sum(small walls) / "
