@@ -105,6 +105,23 @@ def _measure_fsst(values: np.ndarray) -> float:
     )
 
 
+GDELTA_DOMINANCE = 4.0  # probe-measured gdelta must be this far below the
+# best light-codec ESTIMATE to skip the measured shortlist (probe error
+# margin: the probe measured real output on 3 rows, estimates are models)
+Z1_INCOMPRESSIBLE = 0.97  # zlib-1 sample ratio above which no
+# entropy-based stage (FSST, the block backstop) can plausibly win
+
+
+def _entropy_probe(values: np.ndarray) -> float:
+    """zlib-1 ratio of a bounded raw-byte sample (~64 KB) — a cheap upper
+    bound on what any entropy/sequence stage can achieve. ~1 ms, vs the
+    ~10-50 ms FSST train + level-6 backstop probes it gates."""
+    sb = np.ascontiguousarray(values[:16384], dtype="<i4").tobytes()
+    if not sb:
+        return 1.0
+    return len(zlib.compress(sb, 1)) / len(sb)
+
+
 def choose_codec(
     values: np.ndarray,
     sample_rows: list[np.ndarray] | None = None,
@@ -116,18 +133,38 @@ def choose_codec(
     Analytic estimates shortlist codecs within ``measure_margin`` of the best
     estimate; the shortlist is then measured on a sample slice and the
     smallest measured size wins. Returns (codec_id, estimates).
+
+    Two measured fast paths keep the chooser out of the encode hot loop
+    (profiled at 60-75% of group-encode wall on delta/random regimes):
+
+    - gdelta dominance: the similarity probe already MEASURED real delta
+      output on sample rows; when that sits ``GDELTA_DOMINANCE`` x below
+      every light-codec estimate, no measured candidate can close the gap
+      — pick gdelta without training FSST or zlib-probing samples.
+    - entropy pre-probe: one zlib-1 pass over a 64 KB sample bounds what
+      FSST or the block-layer backstop could achieve; past
+      ``Z1_INCOMPRESSIBLE`` the FSST measure is skipped (scored as raw)
+      and shortlist measurement compares plain encoded sizes (the real
+      encode still applies the real backstop — only the CHOICE is made
+      without level-6 probes).
     """
     stats = collect_stats(values, sample_rows or [], base)
     est = estimate_bytes(stats)
-    est["fsst"] = _measure_fsst(values)
     if base is None:
         est.pop("gdelta")
+    elif est["gdelta"] * GDELTA_DOMINANCE <= min(
+        v for k, v in est.items() if k != "gdelta"
+    ):
+        return core.GDELTA, est
+    z1 = _entropy_probe(values)
+    incompressible = z1 > Z1_INCOMPRESSIBLE
+    est["fsst"] = est["raw"] if incompressible else _measure_fsst(values)
     best_est = min(est.values())
     shortlist = [c for c, e in est.items() if e <= best_est * measure_margin]
     if len(shortlist) == 1:
         return core.CODEC_IDS[shortlist[0]], est
 
-    sample = values[: SAMPLE_TOKENS * 4]
+    sample = values[: SAMPLE_TOKENS * 2]
     measured = {}
     for name in shortlist:
         cid = core.CODEC_IDS[name]
@@ -137,7 +174,9 @@ def choose_codec(
             continue
         enc = core.encode_block(sample, cid)
         # raw blocks skip the backstop in the block layer; model that too
-        size = len(enc) if cid == core.RAW else _backstopped(enc)
+        size = (
+            len(enc) if (cid == core.RAW or incompressible) else _backstopped(enc)
+        )
         measured[name] = size * (values.size / max(sample.size, 1))
     winner = min(measured, key=measured.get)
     # near-tie: prefer raw (cheapest decode, no ambiguity from estimate noise)

@@ -151,6 +151,7 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
     # decide gdelta-vs-group-codec, so spurious clusters cost microseconds
     group_codec = force_codec
     group_per_token = 4.0
+    solo_codec: int | None = None  # bootstrap-block codec (chosen once)
     if force_codec is None:
         from gdelta_spark import chooser
 
@@ -158,6 +159,27 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
         probe_rows = arrays[1:4] if len(arrays) > 1 else arrays[:1]
         group_codec, group_est = chooser.choose_codec(sample, probe_rows, rows_bytes[0])
         group_per_token = group_est[core.CODEC_NAMES[group_codec]] / max(sample.size, 1)
+        # bootstrap blocks (one per delta cluster) are single rows of the
+        # same group: re-running the full chooser per base (FSST train +
+        # backstop probes) was the dominant cost on multi-cluster groups
+        # (profiled: 8 of 9 chooser calls). Pick their codec ONCE from the
+        # group estimates; the raw-fallback guard in encode_block_rows
+        # still catches any per-row mismatch.
+        # Bootstrap-block candidates, fixed ONCE per group. Group estimates
+        # can't pick a single row's codec directly (a dict table amortized
+        # over the group sample dominates a lone 32 KB row), and the full
+        # per-base chooser was the dominant group cost (FSST train + probes
+        # x one per cluster). Instead each base row measures the LIGHT
+        # codecs exactly (a handful of sub-ms encodes of one row); FSST
+        # joins the candidates only when its group-level measure was in
+        # range of the best light estimate (texty-like groups).
+        light = [core.RAW, core.DICT, core.RLE, core.FOR, core.DBP]
+        light_min = min(
+            v for k, v in group_est.items() if k not in ("gdelta", "fsst")
+        )
+        if group_est.get("fsst", float("inf")) <= 1.05 * light_min:
+            light.append(core.FSST)
+        solo_candidates = light
 
     # Partition rows into gdelta clusters + ONE rest pool. A signature
     # cluster is only kept if delta-vs-its-base actually wins (cheap
@@ -231,7 +253,16 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
             # Self-containment of the PARTITION is preserved — chains never
             # cross a part_id.
             n_base += 1
-            base_blob, _ = blocks.encode_block_rows([arrays[base_i]], base=None)
+            if force_codec is None:
+                base_blob = min(
+                    (
+                        blocks.encode_block_rows([arrays[base_i]], codec_id=c)[0]
+                        for c in solo_candidates
+                    ),
+                    key=len,
+                )
+            else:
+                base_blob, _ = blocks.encode_block_rows([arrays[base_i]], base=None)
             parent_id = base_doc_id
             for p_id, p_bytes in prior_bases[-4:]:
                 # free length prefilter (same rule as cluster admission):
