@@ -92,3 +92,39 @@ def test_chained_base_bootstrap_roundtrip():
     got = dict(zip(dec["doc_id"], (bytes(b) for b in dec["tok_bytes"])))
     for r in rows:
         assert got[r[0]] == r[1].astype("<i4").tobytes()
+
+
+def test_bootstrap_blocks_pick_best_light_codec():
+    """Bootstrap (base) blocks measure the light codecs on their one row
+    instead of inheriting the group-level choice: a dict table amortized
+    over the group sample dominates a lone base row, so the group winner
+    can be ~1.7x larger there (round-5 regression caught in A/B). The
+    emitted base blob must be no larger than ANY single light-codec
+    encoding of the same row."""
+    import pandas as pd
+
+    from gdelta_spark import fixtures
+    from gdelta_spark.pipeline.encode import _encode_group
+
+    rows = list(fixtures.rows(42, "near-dup", 64))
+    pdf = pd.DataFrame(
+        {
+            "part_id": ["p"] * len(rows),
+            "doc_id": [r[0] for r in rows],
+            "tok_bytes": [r[1].astype("<i4").tobytes() for r in rows],
+        }
+    )
+    by_id = {r[0]: r[1] for r in rows}
+    out = _encode_group(pdf)
+    base_rows = out[out["block_id"] < 0]
+    assert len(base_rows)
+    for _, row in base_rows.iterrows():
+        if row["base_doc_id"] != row["doc_ids"][0]:
+            continue  # chained base: stored as a delta, different economics
+        arr = by_id[row["doc_ids"][0]]
+        for cid in [core.RAW, core.DICT, core.RLE, core.FOR, core.DBP, core.FSST]:
+            alt, _ = blocks.encode_block_rows([arr], codec_id=cid)
+            assert row["enc_bytes"] <= len(alt), (
+                f"base blob {row['enc_bytes']}B beaten by "
+                f"{core.CODEC_NAMES[cid]} at {len(alt)}B"
+            )
