@@ -83,3 +83,80 @@ def test_resize_payload_shapes(spark):
         assert r["n_src"] == len(payload)
         assert r["rsum"] == int(want.sum())
         assert r["rwsum"] == int((want.astype(np.int64) * np.arange(1, 65)).sum())
+
+
+def test_bmp_spec_literal():
+    """A 2x2 24-bit BMP hand-assembled from the format spec (not via our
+    encoder): bottom-up rows, BGR, rows padded 6 -> 8 bytes. Pins the
+    decoder to the SPEC, so a matched writer/parser bug pair can't cancel."""
+    import struct
+
+    # logical image (top-down RGB): [[red, green], [blue, white]]
+    # file stores bottom row first: (blue, white) then (red, green), BGR
+    row_bottom = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"  # blue, white
+    row_top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"  # red, green
+    body = row_bottom + row_top
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    rgb = multimodal.decode_media(hdr + dib + body, "image/bmp")
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], np.uint8
+    )
+    assert np.array_equal(rgb, expect)
+
+
+def test_bmp_top_down_negative_height():
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = bytearray(multimodal.encode_bmp(rgb))
+    import struct
+
+    # rewrite as top-down: negate height, reverse stored row order
+    (h,) = struct.unpack_from("<i", blob, 22)
+    struct.pack_into("<i", blob, 22, -h)
+    stride = (3 * 3 + 3) & ~3
+    rows = [bytes(blob[54 + i * stride : 54 + (i + 1) * stride]) for i in range(h)]
+    blob[54:] = b"".join(reversed(rows))
+    assert np.array_equal(multimodal.decode_media(bytes(blob), "image/bmp"), rgb)
+
+
+def test_wav_spec_literal_with_junk_chunk():
+    """Hand-assembled RIFF with a LIST chunk between fmt and data: decoders
+    that assume fixed offsets (data at byte 44) break here."""
+    import struct
+
+    samples = np.array([0, 1, -1, 32767, -32768], np.int16)
+    data = samples.tobytes() + b"\x00"  # odd sample count -> pad byte
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        + b"data" + struct.pack("<I", samples.nbytes) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    out, rate = multimodal.decode_media(blob, "audio/wav")
+    assert rate == 16000
+    assert np.array_equal(out, samples)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 2), (3, 5), (4, 4), (6, 5), (7, 3)])
+def test_bmp_roundtrip_shapes(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(
+        multimodal.decode_media(multimodal.encode_bmp(rgb), "image/bmp"), rgb
+    )
+
+
+def test_wav_roundtrip_and_rejects():
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32768, 127).astype(np.int16)
+    out, rate = multimodal.decode_media(
+        multimodal.encode_wav(s, 44100, junk=b"odd"), "audio/wav"
+    )
+    assert rate == 44100 and np.array_equal(out, s)
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"nonsense-bytes", "audio/wav")
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"nonsense-bytes", "image/bmp")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\xff\xd8\xff", "image/jpeg")
