@@ -23,16 +23,43 @@ SALT_BUDGET_BYTES = 1 << 20  # small so sf0.01 actually exercises salting
 VOCAB = 50_000
 
 
+def _stream_partitions(inbox: str, session_setting: str | int) -> int:
+    """State-store partition count for a file-source streaming query over a
+    local ``inbox`` directory: ceil(input bytes / 8 MiB), clamped to
+    [1, session setting]. Streaming aggregations take the partition count
+    from spark.sql.shuffle.partitions at query START and AQE never
+    coalesces them, so every micro-batch otherwise schedules and commits
+    state files for ~2x#cores near-empty partitions. Derived from input
+    size, so a larger SF scales the count back up; falls back to the
+    session setting if the inbox is not a listable local path."""
+    import glob
+    import os
+
+    try:
+        nbytes = sum(
+            os.path.getsize(p) for p in glob.glob(os.path.join(inbox, "*.parquet"))
+        )
+        return max(1, min(int(session_setting), -(-nbytes // (8 << 20))))
+    except (OSError, ValueError):
+        return int(session_setting)
+
+
 def documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule input table derived deterministically from documents."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.split(F.col("text"), " ")
-    tokens = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(VOCAB)).cast("int"))
-    return df.select(
+    # split once in its own projection (two inlined uses would evaluate it
+    # twice per row)
+    w = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        tokens.alias("tokens"),
-        F.size(words).cast("int").alias("n_tok"),
+        F.split(F.col("text"), " ").alias("w"),
         F.col("source").alias("source"),
+    )
+    tokens = F.transform("w", lambda x: F.pmod(F.xxhash64(x), F.lit(VOCAB)).cast("int"))
+    return w.select(
+        "doc_id",
+        tokens.alias("tokens"),
+        F.size("w").cast("int").alias("n_tok"),
+        "source",
     )
 
 
@@ -44,15 +71,25 @@ def _roundtrip_report(spark: SparkSession, sf_dir: str, codec: str | None) -> Da
     from gdelta_spark.pipeline import decode as decode_mod
     from gdelta_spark.pipeline import encode as encode_mod
 
+    from gdelta_spark.pipeline import serde
+
     tokens_df = documents_tokens(spark, sf_dir)
-    if codec is None:
-        blocks_df = encode_mod.encode_blocks(tokens_df, group_bytes=SALT_BUDGET_BYTES)
-    else:
-        cid = core.CODEC_IDS[codec]
-        blocks_df = encode_mod.encode_blocks_forced(
-            tokens_df, cid, group_bytes=SALT_BUDGET_BYTES
-        )
-    report = decode_mod.verify_roundtrip(tokens_df, blocks_df)
+    # serialize ONCE and materialize: the encode data pass, the salt-plan
+    # stats pass and the verify source previously each re-ran the full
+    # scan + tokenize + Arrow projection (3 identical MapInArrow subtrees
+    # in the plan — guide §8: materialize an intermediate instead of
+    # recomputing it). localCheckpoint is within this query's own timed
+    # region and is recomputed from the parquet input on every invocation.
+    bin_df = serde.serialize_tokens(
+        tokens_df, keep=("doc_id", "n_tok", "source")
+    ).localCheckpoint()
+    force = None if codec is None else core.CODEC_IDS[codec]
+    blocks_df = encode_mod.encode_blocks_bin(
+        bin_df, group_bytes=SALT_BUDGET_BYTES, force_codec=force
+    )
+    report = decode_mod.verify_roundtrip_bin(
+        bin_df.select("doc_id", "tok_bytes"), blocks_df
+    )
     return report.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("ok").cast("int").alias("ok"),
@@ -222,9 +259,15 @@ def _q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_compression_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only metrics query (not SQL-expressible: runs the real encoder)."""
     from gdelta_spark.pipeline import encode as encode_mod
+    from gdelta_spark.pipeline import serde
 
     tokens_df = documents_tokens(spark, sf_dir)
-    blocks_df = encode_mod.encode_blocks(tokens_df, group_bytes=SALT_BUDGET_BYTES)
+    # one tokenize+serialize pass shared by the salt-stats and encode-data
+    # sides (see _roundtrip_report)
+    bin_df = serde.serialize_tokens(
+        tokens_df, keep=("doc_id", "n_tok", "source")
+    ).localCheckpoint()
+    blocks_df = encode_mod.encode_blocks_bin(bin_df, group_bytes=SALT_BUDGET_BYTES)
     return (
         blocks_df.filter(F.col("block_id") >= 0)
         .withColumn("source", F.split("part_id", "/").getItem(0))
@@ -458,11 +501,16 @@ def _q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="gdelta_stream_win_")
     sink = f"win_{uuid.uuid4().hex[:8]}"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         inbox = f"{tmp}/inbox"
         # wave 1: on-time half; wave 2: everything else, arriving late
         ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(inbox)
         ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(inbox)
+        # state partitions sized to input volume (see _stream_partitions)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_stream_partitions(inbox, prev_sp))
+        )
         stream = (
             spark.readStream.schema("event_id long, ts timestamp, event_type string")
             .option("maxFilesPerTrigger", 1)
@@ -492,6 +540,7 @@ def _q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # materialize before the temp dir is removed
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -519,9 +568,19 @@ def _q_streaming_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="gdelta_stream_app_")
     sink = f"app_{uuid.uuid4().hex[:8]}"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         inbox = f"{tmp}/inbox"
         ev.coalesce(1).write.mode("append").parquet(inbox)
+        # streaming aggregations cannot use AQE: the state-store partition
+        # count is pinned to spark.sql.shuffle.partitions at query start,
+        # and every micro-batch schedules + commits state for ALL of them.
+        # Size it to the actual inbox volume (ceil(bytes / 8 MiB), capped at
+        # the session setting) — scale-adaptive, not a local constant: a
+        # bigger SF gets proportionally more state partitions.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(_stream_partitions(inbox, prev_sp))
+        )
         stream = spark.readStream.schema(
             "event_id long, ts timestamp, event_type string"
         ).parquet(inbox)
@@ -549,6 +608,7 @@ def _q_streaming_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # materialize before the temp dir is removed
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

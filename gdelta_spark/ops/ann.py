@@ -169,24 +169,26 @@ def simhash_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = quantized_embeddings(spark, sf_dir)
     r_planes = planes_for(n_vectors(spark, sf_dir))
     signs = _plane_sign_lists(B_BANDS * r_planes)
-    band_structs = []
+    # the whole banded signature is ONE parsed SQL expression: composing the
+    # 32 aggregate/zip_with trees through the Python Column API cost ~2 s of
+    # driver-side py4j round trips PER QUERY (measured; guide §1 — the time
+    # was in plan construction, not execution). Arithmetic is unchanged.
+    band_exprs = []
     for band in range(B_BANDS):
-        sig = F.lit(0)
+        terms = []
         for r in range(r_planes):
             p = band * r_planes + r
-            sgn_arr = F.array([F.lit(s) for s in signs[p]])
-            proj = F.aggregate(
-                F.zip_with(F.col("q"), sgn_arr, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            arr = ",".join(str(s) for s in signs[p])
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with(q, array({arr}),"
+                " (x, s) -> x * CAST(s AS BIGINT)), CAST(0 AS BIGINT),"
+                f" (acc, x) -> acc + x) > 0 THEN {1 << r} ELSE 0 END)"
             )
-            sig = sig + F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0))
-        band_structs.append(
-            F.struct(F.lit(band).cast("int").alias("band"), sig.cast("int").alias("sig"))
-        )
-    return v.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        band_exprs.append("CAST((" + " + ".join(terms) + ") AS INT)")
+    return v.selectExpr(
+        "vec_id",
+        f"posexplode(array({', '.join(band_exprs)})) AS (band, sig)",
+    ).select("vec_id", F.col("band").cast("int").alias("band"), "sig")
 
 
 def ann_lsh_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +311,14 @@ def nprobe_for(k_cells: int) -> int:
 _CACHE_CAP = 4
 _CODEBOOK_CACHE: "dict[tuple[str, str], tuple[DataFrame, DataFrame, int]]" = {}
 _NVEC_CACHE: dict[tuple[str, str], int] = {}
+# corpus assignment to the trained codebook, shared the same way the
+# codebook itself is: ann_ivf / ann_ivf2 / ann_recall each need the
+# identical (vec_id, cell, q) table, and each used to re-run the two
+# assignment passes over the corpus per query — the same economics as the
+# shared Lloyd training (and jobs/ann_index_job.py's persisted index).
+# Session-scoped (applicationId in the key), so every bench/oracle
+# invocation still computes it from the parquet inputs.
+_ASSIGN_CACHE: "dict[tuple[str, str], DataFrame]" = {}
 
 
 def _cache_put(cache: dict, key, value) -> None:
@@ -488,12 +498,20 @@ def _assign_two_level(
     )
 
 
-def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_assign(spark: SparkSession, sf_dir: str, iters: int = KM_ITERS) -> DataFrame:
     """(vec_id, cell, q) — corpus assigned to the TRAINED two-level
-    codebook."""
+    codebook; localCheckpoint-materialized and LRU-cached per
+    (spark app, sf_dir#iters) so the IVF query family shares one
+    assignment pass (see _ASSIGN_CACHE)."""
+    key = (spark.sparkContext.applicationId, f"{sf_dir}#{iters}")
+    cached = _ASSIGN_CACHE.get(key)
+    if cached is not None:
+        return cached
     v = quantized_embeddings(spark, sf_dir)
-    coarse, sub, k2 = kmeans_codebooks(spark, sf_dir)
-    return _assign_two_level(v, coarse, sub, k2)
+    coarse, sub, k2 = kmeans_codebooks(spark, sf_dir, iters=iters)
+    cells = _assign_two_level(v, coarse, sub, k2).localCheckpoint()
+    _cache_put(_ASSIGN_CACHE, key, cells)
+    return cells
 
 
 def query_probe_cells(
@@ -580,7 +598,7 @@ def ann_ivf_nprobe2(
     shuffled or windowed."""
     v = quantized_embeddings(spark, sf_dir)
     coarse, sub, k2 = kmeans_codebooks(spark, sf_dir)
-    cells = _assign_two_level(v, coarse, sub, k2)
+    cells = ivf_assign(spark, sf_dir)
     qv = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
@@ -626,39 +644,74 @@ def ann_recall(
     )
     v = quantized_embeddings(spark, sf_dir)
     coarse, sub, k2 = kmeans_codebooks(spark, sf_dir, iters=iters)
-    cells = _assign_two_level(v, coarse, sub, k2).localCheckpoint()
+    cells = ivf_assign(spark, sf_dir, iters=iters)
     qv = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
-    rows = []
     levels = sorted({1, 2, 4, nprobe_for(cells_for(n_vectors(spark, sf_dir)))})
-    for nprobe in levels:
-        qcells = query_probe_cells(qv, coarse, sub, k2, nprobe=nprobe)
-        dotted = (
-            cells.join(F.broadcast(qcells), "cell")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                _dot(F.col("qq"), F.col("q")).alias("dot"),
-            )
+    # ALL nprobe levels in ONE plan: the previous per-level loop built four
+    # independent probe/join/window subtrees and unioned them (~30 AQE
+    # stage-jobs). The probe ranking is computed once up to max(levels) and
+    # a tiny per-level explode on the QUERY side replays query_probe_cells'
+    # exact tie-breaks — (d1, c1) at the coarse level, (d2, cell) at the
+    # sub level — per level; the corpus still joins once by cell.
+    lv_arr = F.array(*[F.lit(int(l)) for l in levels])
+    qc = qv.crossJoin(F.broadcast(coarse)).select(
+        "query_id", "qq", F.col("cell").alias("c1"),
+        _sqdist(F.col("qq"), F.col("cq")).alias("d1"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.asc("d1"), F.asc("c1"))
+    topc = (
+        qc.withColumn("crnk", F.row_number().over(w1))
+        .filter(F.col("crnk") <= max(levels))
+        .withColumn("lv", F.explode(lv_arr))
+        .filter(F.col("crnk") <= F.col("lv"))
+        .select("query_id", "lv", "qq", "c1")
+    )
+    qs = topc.join(sub, "c1").select(
+        "query_id", "lv", "qq",
+        (F.col("c1") * k2 + F.col("sub")).cast("int").alias("cell"),
+        _sqdist(F.col("qq"), F.col("cq")).alias("d2"),
+    )
+    w2 = Window.partitionBy("query_id", "lv").orderBy(F.asc("d2"), F.asc("cell"))
+    qcells = (
+        qs.withColumn("crnk", F.row_number().over(w2))
+        .filter(F.col("crnk") <= F.col("lv"))
+        .select("query_id", "lv", "cell", "qq")
+    )
+    dotted = (
+        cells.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "lv",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qq"), F.col("q")).alias("dot"),
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-        approx = (
-            dotted.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id")
+    )
+    w3 = Window.partitionBy("query_id", "lv").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    approx = (
+        dotted.withColumn("rnk", F.row_number().over(w3))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "lv", "neighbor_id")
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("lv")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    # a level with zero hits must still emit its row (the per-level agg
+    # used to guarantee that); join the literal level list back in
+    level_rows = spark.createDataFrame([(int(l),) for l in levels], "nprobe int")
+    return (
+        level_rows.join(hits, level_rows.nprobe == hits.lv, "left")
+        .select(
+            "nprobe", F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits")
         )
-        rows.append(
-            exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
-            .agg(F.count("*").alias("n_hits"))
-            .crossJoin(exact.agg(F.count("*").alias("n_exact")))
-            .select(F.lit(nprobe).alias("nprobe"), "n_hits", "n_exact")
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("nprobe")
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .orderBy("nprobe")
+    )
 
 
 QUANT_COS = 100  # coarser fixed point so the integer cosine test can't overflow

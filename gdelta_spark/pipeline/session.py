@@ -27,6 +27,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus * 2))
         .config("spark.sql.adaptive.enabled", "true")
+        # coalesce post-shuffle partitions by SIZE, not to defaultParallelism:
+        # with the default parallelismFirst=true every tiny shuffle keeps
+        # ~#cores reduce tasks, so a query tree of K exchanges schedules
+        # K * cores near-empty tasks (guide §2.2: fewer, larger partitions).
+        # The advisory target is parameterised: 8 MiB locally keeps the
+        # Python-kernel stages (applyInPandas encode, ~0.05 GB/s/core)
+        # parallel at bench scale — partition count stays ceil(bytes/8MiB),
+        # which GROWS with input size; a production cluster raises it to
+        # 64-256 MiB for JVM-only shuffle-heavy jobs (same knob, env).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m",
+        )
         # parquet writes of many small partitions: keep task overhead low
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
