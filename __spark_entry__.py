@@ -44,6 +44,18 @@ def _stream_partitions(inbox: str, session_setting: str | int) -> int:
         return int(session_setting)
 
 
+def _stream_tmpdir(prefix: str) -> str:
+    """Scratch dir for a streaming query's inbox + checkpoint: tmpfs when
+    available (state-store delta files, offset/commit logs and the inbox
+    parquet are all small, short-lived and fsync-heavy — the same reason
+    session.py points spark.local.dir at /dev/shm)."""
+    import os
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-rule input table derived deterministically from documents."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -499,7 +511,7 @@ def _q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id", "ts", "event_type")
     )
-    tmp = tempfile.mkdtemp(prefix="gdelta_stream_win_")
+    tmp = _stream_tmpdir("gdelta_stream_win_")
     sink = f"win_{uuid.uuid4().hex[:8]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -525,6 +537,7 @@ def _q_streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
             .trigger(availableNow=True)
             .start()
         )
@@ -566,7 +579,7 @@ def _q_streaming_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("event_id", "ts", "event_type")
     )
-    tmp = tempfile.mkdtemp(prefix="gdelta_stream_app_")
+    tmp = _stream_tmpdir("gdelta_stream_app_")
     sink = f"app_{uuid.uuid4().hex[:8]}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -593,6 +606,7 @@ def _q_streaming_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.outputMode("append")
             .format("memory")
             .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
             .trigger(availableNow=True)
             .start()
         )

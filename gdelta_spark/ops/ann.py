@@ -165,7 +165,16 @@ def simhash_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     version shuffled 32 (vec_id, p) partial-sum rows per vector for
     arithmetic a single map-side expression computes (VERDICT r3 "what's
     wrong" #3). The only row multiplication is the final explode to
-    B_BANDS rows per vector — narrow, shuffle-free."""
+    B_BANDS rows per vector — narrow, shuffle-free.
+
+    localCheckpoint-materialized and LRU-cached per (spark app, sf_dir):
+    ``ann_lsh_best_pairs`` and ``embed_neardup_keep`` each consume the
+    table on BOTH sides of a self-join, so one signature pass serves four
+    uses (the persisted-LSH-index economics, like the IVF codebook)."""
+    key = (spark.sparkContext.applicationId, f"sig#{sf_dir}")
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
     v = quantized_embeddings(spark, sf_dir)
     r_planes = planes_for(n_vectors(spark, sf_dir))
     signs = _plane_sign_lists(B_BANDS * r_planes)
@@ -185,10 +194,16 @@ def simhash_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" (acc, x) -> acc + x) > 0 THEN {1 << r} ELSE 0 END)"
             )
         band_exprs.append("CAST((" + " + ".join(terms) + ") AS INT)")
-    return v.selectExpr(
-        "vec_id",
-        f"posexplode(array({', '.join(band_exprs)})) AS (band, sig)",
-    ).select("vec_id", F.col("band").cast("int").alias("band"), "sig")
+    sig = (
+        v.selectExpr(
+            "vec_id",
+            f"posexplode(array({', '.join(band_exprs)})) AS (band, sig)",
+        )
+        .select("vec_id", F.col("band").cast("int").alias("band"), "sig")
+        .localCheckpoint()
+    )
+    _cache_put(_SIG_CACHE, key, sig)
+    return sig
 
 
 def ann_lsh_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,6 +334,8 @@ _NVEC_CACHE: dict[tuple[str, str], int] = {}
 # Session-scoped (applicationId in the key), so every bench/oracle
 # invocation still computes it from the parquet inputs.
 _ASSIGN_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+# banded hyperplane signature table (see simhash_band_sigs)
+_SIG_CACHE: "dict[tuple[str, str], DataFrame]" = {}
 
 
 def _cache_put(cache: dict, key, value) -> None:
@@ -336,40 +353,53 @@ def n_vectors(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
+def _argmin_expr(arr_col: str, id_field: str) -> str:
+    """SQL expression: over ``arr_col`` (array<struct<{id_field}:int,
+    cq:array<bigint>>>), the {id_field} minimizing (squared L2 to q,
+    {id_field}) lexicographically — the same (distance, smallest-id)
+    tie-break as the previous max_by aggregate, but evaluated per ROW so
+    no shuffle of the corpus is needed. Array order is irrelevant: the
+    strict lexicographic comparison picks the same winner for any
+    permutation."""
+    dist = (
+        "aggregate(zip_with(q, s.cq, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return (
+        f"aggregate(transform({arr_col}, s -> named_struct('c', s.{id_field},"
+        f" 'd', {dist})),"
+        " named_struct('c', CAST(-1 AS INT), 'd', CAST(9223372036854775807 AS BIGINT)),"
+        " (acc, s) -> IF(s.d < acc.d OR (s.d = acc.d AND s.c < acc.c), s, acc)).c"
+    )
+
+
 def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cell, q) — nearest centroid by squared L2 (ties -> smallest
-    cell id). Broadcast the (tiny) centroid table, stream the corpus once,
-    reduce the N_CELLS candidate distances with a map-side-combinable
-    ``max_by`` aggregate — no window shuffle, no corpus self-join. The
-    distance itself stays inside whole-stage codegen (zip_with/aggregate)."""
-    dists = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "q", "cell", _sqdist(F.col("q"), F.col("cq")).alias("dist2")
-    )
-    # max of (-dist2, -cell): min distance, then min cell id on ties.
-    return dists.groupBy("vec_id").agg(
-        F.max_by(
-            "cell", F.struct((-F.col("dist2")).alias("nd"), (-F.col("cell")).alias("nc"))
-        ).alias("cell"),
-        F.first("q").alias("q"),
+    cell id). The centroid table is folded to ONE array row (k1 <= sqrt(k)
+    rows — always tiny), broadcast, and the argmin runs as a per-row array
+    expression: the corpus is never shuffled at all (the previous shape
+    shuffled one row per vector into a max_by aggregate on every
+    assignment/Lloyd pass)."""
+    cents_arr = cents.agg(F.collect_list(F.struct("cell", "cq")).alias("cs"))
+    return (
+        v.crossJoin(F.broadcast(cents_arr))
+        .selectExpr("vec_id", "q", _argmin_expr("cs", "cell") + " AS cell")
+        .select("vec_id", "cell", "q")
     )
 
 
 def _lloyd_update(assigned: DataFrame, keys: list[str]) -> DataFrame:
     """centroid = floor(mean) per dimension, grouped by ``keys`` — int64
     sums < 2^53, one double division, floor: IEEE-exact, so DuckDB replays
-    the identical centroids."""
-    return (
-        assigned.select(*keys, F.posexplode("q").alias("d", "qx"))
-        .groupBy(*keys, "d")
-        .agg(F.floor(F.avg("qx")).cast("long").alias("cx"))
-        .groupBy(*keys)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "cx"))),
-                lambda s: s.cx,
-            ).alias("cq")
-        )
+    the identical centroids. One hash aggregate with DIM avg buffers
+    (the posexplode -> per-(key,d) agg -> re-collect shape paid two
+    shuffles and a DIM-x row explosion for the same arithmetic)."""
+    avg_arr = (
+        "array("
+        + ", ".join(f"CAST(FLOOR(AVG(q[{d}])) AS BIGINT)" for d in range(DIM))
+        + ") AS cq"
     )
+    return assigned.groupBy(*keys).agg(F.expr(avg_arr))
 
 
 def kmeans_codebooks(
@@ -445,17 +475,17 @@ def kmeans_codebooks(
         F.col("cell").alias("c1"), F.lit(0).cast("int").alias("sub"), "cq"
     )
     for _ in range(iters):
-        da = tr1.join(sub, "c1").select(
-            "vec_id", "c1", "q", "sub",
-            _sqdist(F.col("q"), F.col("cq")).alias("dist2"),
+        # per-c1 sub-centroid arrays: the argmin then runs as a per-row
+        # expression after the c1 join — the corpus is not re-shuffled by
+        # vec_id (see _assign_cells); the join itself stays keyed on c1
+        # (k1 rows of arrays — AQE broadcasts while it fits)
+        sub_arr = sub.groupBy("c1").agg(
+            F.collect_list(
+                F.struct(F.col("sub").alias("cell"), F.col("cq"))
+            ).alias("ss")
         )
-        assigned = da.groupBy("vec_id").agg(
-            F.first("c1").alias("c1"),
-            F.max_by(
-                "sub",
-                F.struct((-F.col("dist2")).alias("nd"), (-F.col("sub")).alias("nc")),
-            ).alias("sub"),
-            F.first("q").alias("q"),
+        assigned = tr1.join(sub_arr, "c1").selectExpr(
+            "vec_id", "c1", "q", _argmin_expr("ss", "cell") + " AS sub"
         )
         upd = _lloyd_update(assigned, ["c1", "sub"])
         missing = coarse_fb.join(
@@ -477,19 +507,12 @@ def _assign_two_level(
     way no k-row broadcast). Ties break to the smallest cell id at both
     levels. Final cell id = c1 * k2 + sub."""
     a1 = _assign_cells(v, coarse).select("vec_id", F.col("cell").alias("c1"), "q")
-    da = a1.join(sub, "c1").select(
-        "vec_id", "c1", "q", "sub", _sqdist(F.col("q"), F.col("cq")).alias("dist2")
+    sub_arr = sub.groupBy("c1").agg(
+        F.collect_list(F.struct(F.col("sub").alias("cell"), F.col("cq"))).alias("ss")
     )
     return (
-        da.groupBy("vec_id")
-        .agg(
-            F.first("c1").alias("c1"),
-            F.max_by(
-                "sub",
-                F.struct((-F.col("dist2")).alias("nd"), (-F.col("sub")).alias("nc")),
-            ).alias("sub"),
-            F.first("q").alias("q"),
-        )
+        a1.join(sub_arr, "c1")
+        .selectExpr("vec_id", "c1", "q", _argmin_expr("ss", "cell") + " AS sub")
         .select(
             "vec_id",
             (F.col("c1") * k2 + F.col("sub")).cast("int").alias("cell"),

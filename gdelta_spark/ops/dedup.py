@@ -36,6 +36,25 @@ from pyspark.sql import DataFrame, SparkSession
 SHINGLE = 5
 N_BANDS = 4
 
+# session-scoped cache of the materialized band-signature table (the LSH
+# index over shingles): neardup_pairs / neardup_keep / neardup_components
+# all consume it, on both sides of the candidate self-join. Keyed by
+# applicationId, so every new session recomputes from the parquet inputs —
+# the same persisted-index economics as the IVF codebook cache in ops/ann.
+_BANDS_CACHE_CAP = 4
+_BANDS_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+
+
+def _bands_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BANDS_CACHE.get(key)
+    if cached is None:
+        cached = _band_sigs(_doc_shingles(spark, sf_dir).cache()).localCheckpoint()
+        _BANDS_CACHE[key] = cached
+        while len(_BANDS_CACHE) > _BANDS_CACHE_CAP:
+            _BANDS_CACHE.pop(next(iter(_BANDS_CACHE)))
+    return cached
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word 5-grams per document.
@@ -91,17 +110,20 @@ def _band_sigs(shingles: DataFrame) -> DataFrame:
     sigs = both.groupBy("doc_id").agg(
         *[F.min(f"vp{b}").alias(f"mp{b}") for b in range(N_BANDS)],
         *[F.min(f"vq{b}").alias(f"mq{b}") for b in range(N_BANDS)],
+        # shingle count rides along for free: neardup_pairs needs per-doc
+        # set sizes for the exact-Jaccard test, and folding the count into
+        # this aggregate saves a second full pass over the shingle table
+        F.count(F.lit(1)).alias("n"),
     )
     fmt = "lower(lpad(hex(mp{b}), 8, '0')) || lower(lpad(hex(mq{b}), 8, '0'))"
     stack = ", ".join(f"'{b}', " + fmt.format(b=b) for b in range(N_BANDS))
     return sigs.select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {stack}) AS (band, sig)")
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack}) AS (band, sig)"), "n"
     )
 
 
-def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
     """(doc_a, doc_b) — distinct pairs sharing any band signature."""
-    bands = _band_sigs(_doc_shingles(spark, sf_dir))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -115,12 +137,25 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) — distinct pairs sharing any band signature.
+
+    The band-signature table is localCheckpoint-materialized before the
+    self-join: the two join sides otherwise each re-run the full
+    shingle-scan + md5 + min-aggregate subtree (the sig table is 4 narrow
+    rows per doc — linear, tiny next to its input)."""
+    return _pairs_from_bands(_bands_checkpointed(spark, sf_dir))
+
+
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-duplicate pairs: (doc_a, doc_b, n_inter, n_union) with
     shingle-Jaccard >= 0.5 (exact integer test)."""
     sh = _doc_shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand = candidate_pairs(spark, sf_dir)
+    # one materialized band table feeds BOTH the candidate self-join and
+    # the per-doc set sizes (the `n` column rides on the same aggregate)
+    bands = _bands_checkpointed(spark, sf_dir)
+    sizes = bands.filter(F.col("band") == "0").select("doc_id", "n")
+    cand = _pairs_from_bands(bands)
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
     inter = (

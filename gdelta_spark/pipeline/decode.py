@@ -54,8 +54,16 @@ def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def decode_tokens_bytes(blocks_df: DataFrame) -> DataFrame:
     """blocks -> (doc_id, tok_bytes binary): binary stays binary through the
     Arrow boundary (the array<int> path is ~50x slower, see serde.py)."""
-    return blocks_df.groupBy("part_id").applyInPandas(
-        _decode_group, schema=DECODED_SCHEMA
+    # explicit kernel-stage partition count, exempt from AQE coalescing —
+    # same rationale as the encode side (pipeline/encode.py): Python
+    # kernels want many small partitions, not JVM-sized ones
+    n_kernel = int(
+        blocks_df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+    )
+    return (
+        blocks_df.repartition(n_kernel, "part_id")
+        .groupBy("part_id")
+        .applyInPandas(_decode_group, schema=DECODED_SCHEMA)
     )
 
 
