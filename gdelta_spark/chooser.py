@@ -161,6 +161,14 @@ def choose_codec(
     est["fsst"] = est["raw"] if incompressible else _measure_fsst(values)
     best_est = min(est.values())
     shortlist = [c for c, e in est.items() if e <= best_est * measure_margin]
+    if incompressible and "fsst" in shortlist:
+        # est['fsst'] == est['raw'] here, so fsst enters the shortlist
+        # whenever raw does and the measured loop would still pay the FSST
+        # train the probe said cannot win (profiled: the single largest
+        # kernel cost on token corpora). Score it as raw without
+        # measuring; A/B over every fixture regime + the sf doc corpora
+        # confirmed the chosen codec is unchanged for every group.
+        shortlist.remove("fsst")
     if len(shortlist) == 1:
         return core.CODEC_IDS[shortlist[0]], est
 

@@ -194,12 +194,16 @@ def simhash_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" (acc, x) -> acc + x) > 0 THEN {1 << r} ELSE 0 END)"
             )
         band_exprs.append("CAST((" + " + ".join(terms) + ") AS INT)")
+    # q rides along so ann_lsh_best_pairs' in-bucket verify needs no join
+    # back to the corpus (consumers that only need the bucket key project
+    # it away before shuffling — embed_neardup_keep keeps its shuffle
+    # narrow)
     sig = (
         v.selectExpr(
-            "vec_id",
+            "vec_id", "q",
             f"posexplode(array({', '.join(band_exprs)})) AS (band, sig)",
         )
-        .select("vec_id", F.col("band").cast("int").alias("band"), "sig")
+        .select("vec_id", F.col("band").cast("int").alias("band"), "sig", "q")
         .localCheckpoint()
     )
     _cache_put(_SIG_CACHE, key, sig)
@@ -214,12 +218,12 @@ def ann_lsh_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over bands of sum(bucket_width^2); with r planes per band chosen by
     ``planes_for`` the expected width is a constant W and the total is
     O(B * n * W) — linear in the corpus."""
+    # the cached sig table carries q, so the whole query is ONE self-join
+    # on the bucket key (band, sig) — the two per-side joins back to the
+    # corpus are gone
     sig = simhash_band_sigs(spark, sf_dir)
-    v = quantized_embeddings(spark, sf_dir)
-    a = sig.alias("a").join(v.alias("va"), F.col("a.vec_id") == F.col("va.vec_id"))
-    b = sig.alias("b").join(v.alias("vb"), F.col("b.vec_id") == F.col("vb.vec_id"))
-    cand = a.join(
-        b,
+    cand = sig.alias("a").join(
+        sig.alias("b"),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.sig") == F.col("b.sig"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -228,7 +232,7 @@ def ann_lsh_best_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.sig").alias("sig"),
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        _dot(F.col("va.q"), F.col("vb.q")).alias("dot"),
+        _dot(F.col("a.q"), F.col("b.q")).alias("dot"),
     )
     w = Window.partitionBy("band", "sig").orderBy(
         F.desc("dot"), F.asc("vec_a"), F.asc("vec_b")
@@ -755,7 +759,9 @@ def embed_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, bucket width bounded by the planes_for rule — never an all-pairs
     join); the exact test then plays the reference's verify-after-bucket
     role (gdelta.cpp:388-393)."""
-    sig = simhash_band_sigs(spark, sf_dir)
+    # narrow projection before the self-join shuffle: this query verifies
+    # with its own coarser quantization (QUANT_COS), so q is dead weight
+    sig = simhash_band_sigs(spark, sf_dir).select("vec_id", "band", "sig")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * F.lit(QUANT_COS)).cast("long")

@@ -43,16 +43,55 @@ N_BANDS = 4
 # the same persisted-index economics as the IVF codebook cache in ops/ann.
 _BANDS_CACHE_CAP = 4
 _BANDS_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+_ARRAYS_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+
+
+def _cache_put(cache: dict, key, value) -> None:
+    cache[key] = value
+    while len(cache) > _BANDS_CACHE_CAP:
+        cache.pop(next(iter(cache)))
+
+
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, arr: array<string>, n) — each doc's DISTINCT shingle set as
+    one array row, materialized and shared per session. array_distinct is
+    per-row, so the set construction needs NO shuffle at all — the
+    exploded-distinct shape this replaces shuffled one row per (doc,
+    shingle) through a dedup exchange. The exploded view for the band-sig
+    aggregate is a map-side explode of this checkpoint."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ARRAYS_CACHE.get(key)
+    if cached is None:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
+            F.size("w") >= SHINGLE
+        )
+        grams = F.expr(
+            f"array_distinct(transform(sequence(1, size(w) - {SHINGLE - 1}),"
+            f" i -> concat_ws(' ', slice(w, i, {SHINGLE}))))"
+        )
+        a = w.select("doc_id", grams.alias("arr"))
+        cached = a.select(
+            "doc_id", "arr", F.size("arr").cast("long").alias("n")
+        ).localCheckpoint()
+        _cache_put(_ARRAYS_CACHE, key, cached)
+    return cached
+
+
+def _shingles_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, shingle) view over the materialized per-doc
+    distinct-shingle arrays (map-side, no shuffle)."""
+    return _doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("arr").alias("shingle")
+    )
 
 
 def _bands_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BANDS_CACHE.get(key)
     if cached is None:
-        cached = _band_sigs(_doc_shingles(spark, sf_dir).cache()).localCheckpoint()
-        _BANDS_CACHE[key] = cached
-        while len(_BANDS_CACHE) > _BANDS_CACHE_CAP:
-            _BANDS_CACHE.pop(next(iter(_BANDS_CACHE)))
+        cached = _band_sigs(_shingles_checkpointed(spark, sf_dir)).localCheckpoint()
+        _cache_put(_BANDS_CACHE, key, cached)
     return cached
 
 
@@ -110,15 +149,11 @@ def _band_sigs(shingles: DataFrame) -> DataFrame:
     sigs = both.groupBy("doc_id").agg(
         *[F.min(f"vp{b}").alias(f"mp{b}") for b in range(N_BANDS)],
         *[F.min(f"vq{b}").alias(f"mq{b}") for b in range(N_BANDS)],
-        # shingle count rides along for free: neardup_pairs needs per-doc
-        # set sizes for the exact-Jaccard test, and folding the count into
-        # this aggregate saves a second full pass over the shingle table
-        F.count(F.lit(1)).alias("n"),
     )
     fmt = "lower(lpad(hex(mp{b}), 8, '0')) || lower(lpad(hex(mq{b}), 8, '0'))"
     stack = ", ".join(f"'{b}', " + fmt.format(b=b) for b in range(N_BANDS))
     return sigs.select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {stack}) AS (band, sig)"), "n"
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack}) AS (band, sig)")
     )
 
 
@@ -149,30 +184,39 @@ def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-duplicate pairs: (doc_a, doc_b, n_inter, n_union) with
-    shingle-Jaccard >= 0.5 (exact integer test)."""
-    sh = _doc_shingles(spark, sf_dir).cache()
-    # one materialized band table feeds BOTH the candidate self-join and
-    # the per-doc set sizes (the `n` column rides on the same aggregate)
-    bands = _bands_checkpointed(spark, sf_dir)
-    sizes = bands.filter(F.col("band") == "0").select("doc_id", "n")
-    cand = _pairs_from_bands(bands)
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, "doc_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    shingle-Jaccard >= 0.5 (exact integer test).
+
+    The verify attaches each candidate doc's distinct-shingle ARRAY and
+    counts the intersection per row (array_intersect): work is
+    O(|candidates| * doc size), and only candidate docs' sets move —
+    the previous shape instead shuffled the full exploded shingle table
+    through a pair-keyed aggregate. A pair with an empty intersection
+    yields n_inter = 0 and fails the Jaccard filter exactly as it
+    (vacuously) did when the inner-join dropped it."""
+    arrs = _doc_shingle_arrays(spark, sf_dir)
+    cand = _pairs_from_bands(_bands_checkpointed(spark, sf_dir))
+    pa = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    pb = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("n_inter"),
+            (F.col("na") + F.col("nb")).alias("nsum"),
+        )
         .select(
             "doc_a",
             "doc_b",
             "n_inter",
-            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+            (F.col("nsum") - F.col("n_inter")).alias("n_union"),
         )
         .filter(F.col("n_inter") * 2 >= F.col("n_union"))
         .orderBy("doc_a", "doc_b")
@@ -303,7 +347,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-fingerprint cardinality (1-hash MinHash)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
     fps = (
-        _doc_shingles(spark, sf_dir)
+        _shingles_checkpointed(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.min(F.md5("shingle")).alias("fp"))
     )

@@ -151,7 +151,6 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
     # decide gdelta-vs-group-codec, so spurious clusters cost microseconds
     group_codec = force_codec
     group_per_token = 4.0
-    solo_codec: int | None = None  # bootstrap-block codec (chosen once)
     if force_codec is None:
         from gdelta_spark import chooser
 
@@ -159,12 +158,6 @@ def _encode_group(pdf: pd.DataFrame, force_codec: int | None = None) -> pd.DataF
         probe_rows = arrays[1:4] if len(arrays) > 1 else arrays[:1]
         group_codec, group_est = chooser.choose_codec(sample, probe_rows, rows_bytes[0])
         group_per_token = group_est[core.CODEC_NAMES[group_codec]] / max(sample.size, 1)
-        # bootstrap blocks (one per delta cluster) are single rows of the
-        # same group: re-running the full chooser per base (FSST train +
-        # backstop probes) was the dominant cost on multi-cluster groups
-        # (profiled: 8 of 9 chooser calls). Pick their codec ONCE from the
-        # group estimates; the raw-fallback guard in encode_block_rows
-        # still catches any per-row mismatch.
         # Bootstrap-block candidates, fixed ONCE per group. Group estimates
         # can't pick a single row's codec directly (a dict table amortized
         # over the group sample dominates a lone 32 KB row), and the full
