@@ -84,7 +84,14 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q: array<long>) — fixed-point embeddings. float32 -> float64
     promotion is exact and float64 multiply/floor is IEEE-deterministic, so
     Spark and DuckDB produce identical integers."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from gdelta_spark.pipeline.partitioning import spread_input
+
+    # one-row-group test files would pin every downstream distance/sig
+    # kernel to a single core (no-op on parallel scans)
+    e = spread_input(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        memo_key=f"{sf_dir}/embeddings.parquet",
+    )
     q = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * F.lit(QUANT)).cast("long")
     )

@@ -62,7 +62,12 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _ARRAYS_CACHE.get(key)
     if cached is None:
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from gdelta_spark.pipeline.partitioning import spread_input
+
+        d = spread_input(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            memo_key=f"{sf_dir}/documents.parquet",
+        )
         w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
             F.size("w") >= SHINGLE
         )
@@ -93,25 +98,6 @@ def _bands_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = _band_sigs(_shingles_checkpointed(spark, sf_dir)).localCheckpoint()
         _cache_put(_BANDS_CACHE, key, cached)
     return cached
-
-
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word 5-grams per document.
-
-    ``split(text)`` is materialized ONCE per row in its own projection
-    before the transform/slice lambda: an expression under a higher-order-
-    function lambda is re-evaluated per array element, so inlining the
-    split made shingle generation O(n_words^2) per doc (measured 3.6x
-    slower at sf0.1)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = d.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= SHINGLE
-    )
-    grams = F.expr(
-        f"transform(sequence(1, size(w) - {SHINGLE - 1}),"
-        f" i -> concat_ws(' ', slice(w, i, {SHINGLE})))"
-    )
-    return w.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
 def _band_sigs(shingles: DataFrame) -> DataFrame:
@@ -473,7 +459,12 @@ def simhash_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     same md5-derived ±1 trick as the ANN hyperplanes (ops/ann.py), so a
     SQL oracle reproduces it exactly.
     """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from gdelta_spark.pipeline.partitioning import spread_input
+
+    d = spread_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        memo_key=f"{sf_dir}/documents.parquet",
+    )
     # materialize md5 ONCE per word in its own projection: common-subexpression
     # elimination does not span the 16 aggregate expressions, so inlining
     # F.md5 into each bit's F.when would hash every word 16 times (explode must
