@@ -359,7 +359,13 @@ def n_vectors(spark: SparkSession, sf_dir: str) -> int:
     key = (spark.sparkContext.applicationId, sf_dir)
     n = _NVEC_CACHE.get(key)
     if n is None:
-        n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        try:
+            # exact row count from the parquet footer — no Spark job
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+        except Exception:  # noqa: BLE001 — non-local path/layout: count it
+            n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
         _cache_put(_NVEC_CACHE, key, n)
     return n
 

@@ -41,6 +41,12 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m",
         )
+        # prefer hash joins over sort-merge when the build side fits
+        # (guide §3.1): the planner may choose shuffled-hash outright, and
+        # AQE rewrites SMJ -> SHJ at runtime when every post-shuffle
+        # partition is under the local-map threshold — skips both sorts
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         # parquet writes of many small partitions: keep task overhead low
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
