@@ -83,7 +83,17 @@ def planes_for(n_vectors: int, target_width: int = LSH_CELL_WIDTH) -> int:
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, q: array<long>) — fixed-point embeddings. float32 -> float64
     promotion is exact and float64 multiply/floor is IEEE-deterministic, so
-    Spark and DuckDB produce identical integers."""
+    Spark and DuckDB produce identical integers.
+
+    Materialized once per session: IVF training alone evaluates this
+    projection ~5 times (level-1 assign, group membership, seeds, level-2
+    assign, final assignment), and the LSH/exact queries read it again —
+    the quantized table is the feature-store input every index consumer
+    shares (same session-cache pattern as the codebook)."""
+    key = (spark.sparkContext.applicationId, f"q#{sf_dir}")
+    cached = _Q_CACHE.get(key)
+    if cached is not None:
+        return cached
     from gdelta_spark.pipeline.partitioning import spread_input
 
     # one-row-group test files would pin every downstream distance/sig
@@ -95,7 +105,9 @@ def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * F.lit(QUANT)).cast("long")
     )
-    return e.select("vec_id", q.alias("q"))
+    cached = e.select("vec_id", q.alias("q")).localCheckpoint()
+    _cache_put(_Q_CACHE, key, cached)
+    return cached
 
 
 def _dot(a, b):
@@ -114,14 +126,12 @@ def _sqdist(a, b):
     )
 
 
-def ann_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+def _topk_unordered(
+    spark: SparkSession, sf_dir: str, n_queries: int, k: int
 ) -> DataFrame:
-    """Exact top-k neighbors by quantized dot product for vec_id < n_queries.
-
-    Plan shape: broadcast the (tiny) query side, stream the corpus once,
-    window top-k per query. Ties broken by neighbor_id for determinism.
-    """
+    """ann_topk without the final presentation sort — internal consumers
+    (ann_recall's exact baseline) only semi-join/count the pairs, so the
+    range-partition sort would be a wasted exchange."""
     v = quantized_embeddings(spark, sf_dir)
     qs = v.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
@@ -139,8 +149,18 @@ def ann_topk(
     return (
         dotted.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
-        .orderBy("query_id", "rnk")
     )
+
+
+def ann_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbors by quantized dot product for vec_id < n_queries.
+
+    Plan shape: broadcast the (tiny) query side, stream the corpus once,
+    window top-k per query. Ties broken by neighbor_id for determinism.
+    """
+    return _topk_unordered(spark, sf_dir, n_queries, k).orderBy("query_id", "rnk")
 
 
 def _plane_sign_lists(n_planes: int) -> list[list[int]]:
@@ -347,6 +367,8 @@ _NVEC_CACHE: dict[tuple[str, str], int] = {}
 _ASSIGN_CACHE: "dict[tuple[str, str], DataFrame]" = {}
 # banded hyperplane signature table (see simhash_band_sigs)
 _SIG_CACHE: "dict[tuple[str, str], DataFrame]" = {}
+# materialized quantized-embedding projection (see quantized_embeddings)
+_Q_CACHE: "dict[tuple[str, str], DataFrame]" = {}
 
 
 def _cache_put(cache: dict, key, value) -> None:
@@ -678,7 +700,7 @@ def ann_recall(
     ranking + one broadcast join — never a corpus-wide window (r4 VERDICT
     "wrong" #2)."""
     exact = (
-        ann_topk(spark, sf_dir, n_queries=n_queries, k=k)
+        _topk_unordered(spark, sf_dir, n_queries, k)
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )

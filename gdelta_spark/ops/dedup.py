@@ -254,15 +254,29 @@ def min_label_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .localCheckpoint()
     )
     for it in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.doc_a == labels.doc_id)
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
+        # one aggregate does both the neighbor-min fold and the old-label
+        # carry: neighbor messages union the self row (own = label), so
+        # min(msg) is the propagated label and max(own) recovers the old
+        # one — this replaces a groupBy PLUS a join back onto labels with
+        # a single shuffle per round
+        msgs = edges.join(labels, edges.doc_a == labels.doc_id).select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("label").alias("msg"),
+            # NULL of the label's own type (ids may be strings or ints —
+            # the function is generic over the vertex id type)
+            F.when(F.lit(False), F.col("label")).alias("own"),
         )
-        prop = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.col("label").alias("old_label"),
-            F.least("label", F.coalesce("nlabel", F.col("label"))).alias("label"),
+        selfm = labels.select(
+            "doc_id", F.col("label").alias("msg"), F.col("label").alias("own")
+        )
+        prop = (
+            msgs.unionByName(selfm)
+            .groupBy("doc_id")
+            .agg(
+                F.min("msg").alias("label"),
+                F.max("own").alias("old_label"),
+            )
+            .select("doc_id", "old_label", "label")
         )
         if it >= 2:
             # pointer doubling against the PREVIOUS round's (checkpointed)
